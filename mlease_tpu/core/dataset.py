@@ -1,0 +1,180 @@
+"""Device data layout: padded sparse blocks for the TPU solver.
+
+The reference materializes per-reducer CSR-ish `FeatureNode[][]` rows
+(reference: LibLinearDataset.java:586-658). TPUs need static shapes, so each
+data block is packed into a padded ELL-style layout:
+
+    indices : (rows, max_nnz) int32   — vocab column per nonzero (0 when padded)
+    values  : (rows, max_nnz) float   — 0.0 on padding (contributes nothing to
+                                        either Xv gathers or X'v scatter-adds)
+    y       : (rows,) float           — +1 / -1 (response 0 mapped to -1 as in
+                                        LibLinearDataset.java:333-335); +1 on
+                                        padding rows
+    weight  : (rows,) float           — per-instance weight, 0.0 on padding
+                                        rows so they are exact no-ops in the
+                                        objective
+    offset  : (rows,) float
+
+The intercept keeps the reference's "bias as last feature" encoding
+(LibLinearDataset.java:592-615): one extra nonzero slot holding
+(intercept_index, bias) per real row.
+
+A multi-block dataset stacks B such blocks with common (rows, max_nnz) and
+carries a per-block feature presence mask used to pin features with no data in
+a block to their prior mean, exactly as LibLinear.train does for features
+absent from the dataset (reference: LibLinear.java:373-397).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, NamedTuple, Sequence
+
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Block(NamedTuple):
+    """One packed data block (host numpy; device transfer happens in train)."""
+
+    indices: np.ndarray   # (R, K) int32
+    values: np.ndarray    # (R, K) float
+    y: np.ndarray         # (R,) float
+    weight: np.ndarray    # (R,) float
+    offset: np.ndarray    # (R,) float
+    nrows: int            # real (unpadded) row count
+
+
+class BlockedData(NamedTuple):
+    """B stacked blocks, ready for vmap/sharding over the leading axis."""
+
+    indices: np.ndarray   # (B, R, K) int32
+    values: np.ndarray    # (B, R, K) float
+    y: np.ndarray         # (B, R) float
+    weight: np.ndarray    # (B, R) float
+    offset: np.ndarray    # (B, R) float
+    present: np.ndarray   # (B, n) bool — feature occurs in block's data
+    nrows: np.ndarray     # (B,) int32 real row counts
+    nblocks: int
+    dim: int              # n = vocab.size (including intercept column)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.indices.shape[1]
+
+    @property
+    def max_nnz(self) -> int:
+        return self.indices.shape[2]
+
+
+def pack_rows(rows: Sequence[Mapping], vocab, *, bias: float = 1.0,
+              dtype=np.float32, pad_rows_to: int | None = None,
+              pad_nnz_to: int | None = None, row_multiple: int = 8,
+              nnz_multiple: int = 8) -> Block:
+    """Canonical rows -> one padded Block in vocab coordinates.
+
+    Unknown features (not in the frozen vocab) are dropped, matching scoring
+    against a fixed model where unseen features contribute nothing
+    (reference: LinearModel.eval, LinearModel.java:247-255).
+    """
+    has_intercept = vocab.intercept_index is not None and bias > 0
+    icpt = vocab.intercept_index if has_intercept else 0
+
+    nrows = len(rows)
+    max_nnz = 0
+    parsed = []
+    for row in rows:
+        idx = []
+        val = []
+        for key, v in row["features"]:
+            j = vocab.get(key)
+            if j is not None:
+                idx.append(j)
+                val.append(v)
+        if has_intercept:
+            idx.append(icpt)
+            val.append(bias)
+        parsed.append((idx, val, row))
+        max_nnz = max(max_nnz, len(idx))
+
+    R = pad_rows_to if pad_rows_to is not None else _round_up(max(nrows, 1), row_multiple)
+    K = pad_nnz_to if pad_nnz_to is not None else _round_up(max(max_nnz, 1), nnz_multiple)
+    if nrows > R:
+        raise ValueError(f"pad_rows_to={R} < nrows={nrows}")
+    if max_nnz > K:
+        raise ValueError(f"pad_nnz_to={K} < max_nnz={max_nnz}")
+
+    indices = np.zeros((R, K), dtype=np.int32)
+    values = np.zeros((R, K), dtype=dtype)
+    y = np.ones(R, dtype=dtype)
+    weight = np.zeros(R, dtype=dtype)
+    offset = np.zeros(R, dtype=dtype)
+
+    for i, (idx, val, row) in enumerate(parsed):
+        k = len(idx)
+        indices[i, :k] = idx
+        values[i, :k] = val
+        y[i] = 1.0 if row["response"] == 1 else -1.0
+        weight[i] = row.get("weight", 1.0)
+        offset[i] = row.get("offset", 0.0)
+
+    return Block(indices, values, y, weight, offset, nrows)
+
+
+def pack_blocks(block_rows: Sequence[Sequence[Mapping]], vocab, *,
+                bias: float = 1.0, dtype=np.float32,
+                row_multiple: int = 8, nnz_multiple: int = 8) -> BlockedData:
+    """List of per-block row lists -> stacked BlockedData with uniform padding."""
+    nblocks = len(block_rows)
+    max_rows = max((len(rows) for rows in block_rows), default=0)
+    max_nnz = 0
+    for rows in block_rows:
+        for row in rows:
+            nnz = sum(1 for k, _ in row["features"] if k in vocab)
+            if vocab.intercept_index is not None and bias > 0:
+                nnz += 1
+            max_nnz = max(max_nnz, nnz)
+
+    R = _round_up(max(max_rows, 1), row_multiple)
+    K = _round_up(max(max_nnz, 1), nnz_multiple)
+
+    blocks = [pack_rows(rows, vocab, bias=bias, dtype=dtype,
+                        pad_rows_to=R, pad_nnz_to=K)
+              for rows in block_rows]
+
+    n = vocab.size
+    present = np.zeros((nblocks, n), dtype=bool)
+    for b, blk in enumerate(blocks):
+        real = blk.weight > 0
+        cols = blk.indices[real].ravel()
+        vals = blk.values[real].ravel()
+        present[b, cols[vals != 0]] = True
+        if vocab.intercept_index is not None and bias > 0 and blk.nrows > 0:
+            present[b, vocab.intercept_index] = True
+
+    return BlockedData(
+        indices=np.stack([b.indices for b in blocks]),
+        values=np.stack([b.values for b in blocks]),
+        y=np.stack([b.y for b in blocks]),
+        weight=np.stack([b.weight for b in blocks]),
+        offset=np.stack([b.offset for b in blocks]),
+        present=present,
+        nrows=np.array([b.nrows for b in blocks], dtype=np.int32),
+        nblocks=nblocks,
+        dim=n,
+    )
+
+
+def partition_rows(rows: Iterable[Mapping], keys: Iterable[str],
+                   nblocks: int) -> list[list[Mapping]]:
+    """Group prepared rows by integer partition key into nblocks lists."""
+    out: list[list[Mapping]] = [[] for _ in range(nblocks)]
+    for row, key in zip(rows, keys):
+        k = int(key)
+        if k < 0 or k >= nblocks:
+            raise ValueError(
+                f"Map key is wrong! key has to be in the range of [0,{nblocks - 1}].")
+        out[k].append(row)
+    return out
