@@ -86,16 +86,19 @@ def pack_rows(rows: Sequence[Mapping], vocab, *, bias: float = 1.0,
     max_nnz = 0
     parsed = []
     for row in rows:
-        idx = []
-        val = []
+        # Accumulate duplicate feature keys within a row; the reference's
+        # dense-Hessian path rejects duplicate indices outright
+        # (LogisticRegressionL2.java:276-280), summed values are equivalent
+        # for every objective term.
+        acc: dict[int, float] = {}
         for key, v in row["features"]:
             j = vocab.get(key)
             if j is not None:
-                idx.append(j)
-                val.append(v)
+                acc[j] = acc.get(j, 0.0) + v
         if has_intercept:
-            idx.append(icpt)
-            val.append(bias)
+            acc[icpt] = acc.get(icpt, 0.0) + bias
+        idx = list(acc.keys())
+        val = [acc[j] for j in idx]
         parsed.append((idx, val, row))
         max_nnz = max(max_nnz, len(idx))
 

@@ -8,11 +8,22 @@ sharding/collective paths are exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pins JAX_PLATFORMS=axon (single tunneled TPU chip); tests must
+# not contend for it, so force CPU before jax initializes a backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Math-parity tests compare against the reference's float64 semantics; the
+# framework itself creates every array with an explicit dtype, so enabling
+# x64 here does not change the float32 production path.
+os.environ["JAX_ENABLE_X64"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
