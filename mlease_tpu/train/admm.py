@@ -134,8 +134,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     solve_grid = jax.vmap(solve_blocks,
                           in_axes=(None, None, None, None, None, 0, 0, 0, None))
 
-    def step(indices, values, y, weight, offset, present, z, u, lam_vec,
-             rho_eff, eps):
+    def step(indices, values, y, weight, offset, present, block_valid, z, u,
+             lam_vec, rho_eff, eps):
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
@@ -147,8 +147,12 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         # the prior mean z - u_b (LibLinear.java:373-397)
         x = jnp.where(present[None, :, :], x, prior_mean)
 
-        xbar = jnp.mean(x, axis=1)                           # (L,n) psum/B on mesh
-        ubar = jnp.mean(u, axis=1)
+        # consensus means over real blocks only (mesh-padding blocks masked);
+        # on a sharded mesh these are the psum collectives replacing meanModel
+        # (RegressionAdmmTrain.java:362-364)
+        bv = block_valid[None, :, None]
+        xbar = jnp.sum(x * bv, axis=1) / nblocks             # (L,n)
+        ubar = jnp.sum(u * bv, axis=1) / nblocks
         v = xbar + ubar
 
         def zup(v_l, lam_l, rho_l):
@@ -161,11 +165,11 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                 penalize_intercept, reference_compat=reference_l1_compat)
 
         z_new = jax.vmap(zup)(v, lam_vec, rho_eff)
-        u_new = admm_math.u_update(u, x, z_new[:, None, :])
+        u_new = admm_math.u_update(u, x, z_new[:, None, :]) * bv
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
         return z_new, u_new, diffs
 
-    return jax.jit(step, donate_argnums=(7,))
+    return jax.jit(step, donate_argnums=(8,))
 
 
 def build_loglik_fn() -> Callable:
@@ -187,31 +191,50 @@ def build_loglik_fn() -> Callable:
 
 class AdmmTrainer:
     def __init__(self, data: BlockedData, vocab, config: AdmmConfig,
-                 test_rows: Sequence[Mapping] | None = None):
-        self.data = data
+                 test_rows: Sequence[Mapping] | None = None, mesh=None):
         self.vocab = vocab
         self.config = config
-        self.nblocks = data.nblocks
+        self.mesh = mesh
+        self.nblocks = data.nblocks  # real block count (consensus divisor)
+        dtype = config.dtype
+
+        block_valid = np.ones(data.nblocks, dtype=np.float64)
+        if mesh is not None:
+            from mlease_tpu.parallel.mesh import pad_blocks
+            data, block_valid = pad_blocks(data, mesh.devices.size)
+        self.data = data
         self.dim = data.dim
         self.lambdas = [float(l) for l in config.lambdas]
         self.rhos = config.resolved_rhos()
-        dtype = config.dtype
 
         # device arrays --------------------------------------------------
-        self.indices = jnp.asarray(data.indices)
-        self.values = jnp.asarray(data.values, dtype)
+        indices = jnp.asarray(data.indices)
+        values = jnp.asarray(data.values, dtype)
         y = jnp.asarray(data.y, dtype)
         weight = jnp.asarray(data.weight, dtype)
         if config.positive_weight != 1.0:
             weight = jnp.where(y == 1, config.positive_weight * weight, weight)
-        self.y = y
-        self.weight = weight
-        self.offset = jnp.asarray(data.offset, dtype)
-        self.present = jnp.asarray(data.present)
+        offset = jnp.asarray(data.offset, dtype)
+        present = jnp.asarray(data.present)
+        block_valid = jnp.asarray(block_valid, dtype)
 
         # per-block class-balance tolerance factors (LibLinear.java:309-313)
-        self.eps_scale = jnp.asarray(
+        eps_scale = jnp.asarray(
             obj.class_balance_eps_scale(data.y, data.nrows), dtype)
+
+        if mesh is not None:
+            from mlease_tpu.parallel.mesh import shard_blocked_arrays
+            sharded = shard_blocked_arrays(mesh, {
+                "indices": indices, "values": values, "y": y,
+                "weight": weight, "offset": offset, "present": present,
+                "eps": eps_scale, "block_valid": block_valid})
+            indices, values, y = sharded["indices"], sharded["values"], sharded["y"]
+            weight, offset = sharded["weight"], sharded["offset"]
+            present, eps_scale = sharded["present"], sharded["eps"]
+            block_valid = sharded["block_valid"]
+        self.indices, self.values, self.y = indices, values, y
+        self.weight, self.offset, self.present = weight, offset, present
+        self.eps_scale, self.block_valid = eps_scale, block_valid
 
         # per-feature lambda vectors (lambda.map)
         lam_vecs = np.stack([
@@ -257,7 +280,11 @@ class AdmmTrainer:
 
         z = (jnp.zeros((L, n), dtype) if z0 is None
              else jnp.asarray(np.broadcast_to(z0, (L, n)), dtype))
-        u = jnp.zeros((L, self.nblocks, n), dtype)
+        u = jnp.zeros((L, self.data.nblocks, n), dtype)
+        if self.mesh is not None:
+            from mlease_tpu.parallel.mesh import block_sharding, replicated
+            z = jax.device_put(z, replicated(self.mesh))
+            u = jax.device_put(u, block_sharding(self.mesh, 1))
 
         inner_eps = cfg.liblinear_epsilon
         mindiff = 99999999.0
@@ -291,7 +318,8 @@ class AdmmTrainer:
 
             z, u, diffs = self.step(self.indices, self.values, self.y,
                                     self.weight, self.offset, self.present,
-                                    z, u, self.lam_vec, rho_eff, eps)
+                                    self.block_valid, z, u, self.lam_vec,
+                                    rho_eff, eps)
             diffs_np = np.asarray(diffs, np.float64)
             mindiff = float(diffs_np.min())
             maxdiff = float(diffs_np.max())
@@ -331,5 +359,5 @@ class AdmmTrainer:
             models=models, best_model=best_model, best_lambda=best_lambda,
             best_loglik=best_loglik, iterations=iteration,
             sample_loglik_history=loglik_history, diff_history=diff_history,
-            z=z_np, u=np.asarray(u, np.float64), converged=converged,
-            wall_time=time.monotonic() - t_start)
+            z=z_np, u=np.asarray(u, np.float64)[:, :self.nblocks],
+            converged=converged, wall_time=time.monotonic() - t_start)
