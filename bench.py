@@ -1,0 +1,141 @@
+"""Benchmark: consensus-ADMM sparse logistic regression on TPU.
+
+Measures steady-state ADMM iterations/second of the full jitted training step
+(batched TRON x-update over (lambda x block), consensus psum means, z/u
+updates) on a synthetic sparse CTR-style workload, and prints ONE JSON line.
+
+Baseline context: the reference (linkedin/ml-ease) runs ONE Hadoop MapReduce
+job per ADMM iteration (RegressionAdmmTrain.java:281-497 — job submission,
+mapper fan-out x nlambdas, shuffle, per-reducer liblinear solve, driver-side
+HDFS meanModel streaming). It publishes no timing numbers (BASELINE.md); a
+conservative floor for a Hadoop-1.x iteration round on a real cluster is ~30 s
+of scheduling+shuffle+IO alone, so vs_baseline = iterations_per_s * 30.0
+(i.e. how many times faster than one 30-second MapReduce round per iteration).
+
+Scale knobs via env: BENCH_FEATURES, BENCH_BLOCKS, BENCH_ROWS (per block),
+BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
+                       nnz: int, seed: int = 0):
+    """Directly materialize a BlockedData without per-row Python overhead.
+
+    Power-law-ish column popularity mimics CTR data: a few hot features, a
+    long tail. The intercept column (last index) is appended to every row.
+    """
+    from mlease_tpu.core.dataset import BlockedData
+
+    rng = np.random.default_rng(seed)
+    n = n_features + 1  # + intercept column
+    icpt = n_features
+    B, R, K = nblocks, rows_per_block, nnz + 1
+
+    # zipf-ish column draw
+    raw = rng.zipf(1.3, size=(B, R, nnz)).astype(np.int64)
+    cols = (raw - 1) % n_features
+    indices = np.concatenate(
+        [cols, np.full((B, R, 1), icpt, dtype=np.int64)], axis=2).astype(np.int32)
+    values = np.concatenate(
+        [rng.normal(size=(B, R, nnz)).astype(np.float32) * 0.5,
+         np.ones((B, R, 1), dtype=np.float32)], axis=2)
+
+    w_true = (rng.normal(size=n) * 0.3).astype(np.float32)
+    w_true[icpt] = -1.5
+    scores = np.einsum("brk,brk->br", values,
+                       w_true[indices]).astype(np.float32)
+    p = 1.0 / (1.0 + np.exp(-scores))
+    y = np.where(rng.random((B, R)) < p, 1.0, -1.0).astype(np.float32)
+
+    present = np.zeros((B, n), dtype=bool)
+    for b in range(B):
+        present[b, np.unique(indices[b])] = True
+
+    return BlockedData(
+        indices=indices, values=values, y=y,
+        weight=np.ones((B, R), np.float32),
+        offset=np.zeros((B, R), np.float32),
+        present=present,
+        nrows=np.full(B, R, np.int32), nblocks=B, dim=n), w_true
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mlease_tpu.core.vocab import FeatureVocab
+    from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+
+    n_features = int(os.environ.get("BENCH_FEATURES", 100_000))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", 8))
+    rows = int(os.environ.get("BENCH_ROWS", 32_768))
+    nnz = int(os.environ.get("BENCH_NNZ", 31))
+    n_lambdas = int(os.environ.get("BENCH_LAMBDAS", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+
+    data, _w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
+
+    # lightweight vocab stand-in: only intercept_index is used by the trainer
+    vocab = FeatureVocab.__new__(FeatureVocab)
+    vocab._index = {}
+    vocab._names = [f"f{i}" for i in range(n_features)] + ["(INTERCEPT)"]
+    vocab._frozen = True
+    vocab.has_intercept = True
+
+    lambdas = [1.0, 10.0, 100.0][:n_lambdas]
+    cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
+                     dtype=jnp.float32)
+    trainer = AdmmTrainer(data, vocab, cfg)
+
+    L, n = len(lambdas), data.dim
+    z = jnp.zeros((L, n), jnp.float32)
+    u = jnp.zeros((L, data.nblocks, n), jnp.float32)
+    lam_vec = trainer.lam_vec
+    rho_eff = jnp.ones(L, jnp.float32)
+    eps = 0.01 * trainer.eps_scale
+
+    def step(z, u):
+        return trainer.step(trainer.indices, trainer.values, trainer.y,
+                            trainer.weight, trainer.offset, trainer.present,
+                            trainer.block_valid, z, u, lam_vec, rho_eff, eps)
+
+    # warmup / compile
+    t0 = time.monotonic()
+    z, u, d = step(z, u)
+    jax.block_until_ready((z, d))
+    compile_time = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    for _ in range(iters):
+        z, u, d = step(z, u)
+    jax.block_until_ready((z, d))
+    elapsed = time.monotonic() - t0
+    iters_per_s = iters / elapsed
+
+    rows_total = nblocks * rows
+    result = {
+        "metric": "admm_iterations_per_s",
+        "value": round(iters_per_s, 4),
+        "unit": f"iter/s ({n_lambdas}-lambda path, {rows_total} rows x "
+                f"{n_features} features, {nblocks} blocks, "
+                f"{jax.devices()[0].platform})",
+        "vs_baseline": round(iters_per_s * 30.0, 1),
+        "detail": {
+            "compile_s": round(compile_time, 2),
+            "steady_iter_s": round(elapsed / iters, 4),
+            "maxdiff_last": float(np.asarray(d).max()),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Naive trainer: per-key independent fits, mean model, thresholds."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlease_tpu.core import build_vocab, pack_rows
+from mlease_tpu.ops import objective as obj
+from mlease_tpu.ops.tron import tron
+from mlease_tpu.train.naive import NaiveConfig, NaiveResult, train_naive
+
+from test_admm import synth_rows
+
+
+def single_fit_reference(rows, lam, vocab, prior_mean=0.0,
+                         intercept_var=100000.0):
+    """Direct single-problem TRON fit with the naive trainer's prior setup."""
+    blk = pack_rows(rows, vocab)
+    pvi = np.full(vocab.size, lam)
+    pvi[vocab.intercept_index] = 1.0 / intercept_var
+    prob = obj.make_problem(blk, np.full(vocab.size, prior_mean), pvi,
+                            dtype=jnp.float64)
+    scale = float(obj.class_balance_eps_scale(
+        blk.y[None], np.array([blk.nrows]))[0])
+    res = tron(prob, jnp.zeros(vocab.size, jnp.float64), eps=0.01 * scale)
+    return np.asarray(res.w)
+
+
+def test_naive_matches_independent_fits():
+    rng = np.random.default_rng(0)
+    keyed = {"0": synth_rows(rng, 120), "1": synth_rows(rng, 150)}
+    all_rows = keyed["0"] + keyed["1"]
+    vocab = build_vocab(all_rows)
+    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64)
+    result = train_naive(keyed, cfg, vocab=vocab)
+    assert set(result.models) == {"1.0#0", "1.0#1", "4.0#0", "4.0#1"}
+    for lam, lam_key in ((1.0, "1.0"), (4.0, "4.0")):
+        for key in ("0", "1"):
+            w_ref = single_fit_reference(keyed[key], lam, vocab)
+            model = result.models[f"{lam_key}#{key}"]
+            dense = model.to_dense(vocab)
+            present_cols = np.nonzero(dense)[0]
+            np.testing.assert_allclose(dense[present_cols],
+                                       w_ref[present_cols],
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_naive_mean_model():
+    rng = np.random.default_rng(1)
+    keyed = {str(i): synth_rows(rng, 80) for i in range(3)}
+    vocab = build_vocab([r for rows in keyed.values() for r in rows])
+    cfg = NaiveConfig(lambdas=[2.0], compute_model_mean=True,
+                      dtype=jnp.float64)
+    result = train_naive(keyed, cfg, vocab=vocab)
+    assert result.mean_models is not None
+    mean = result.mean_models["2.0"]
+    # mean of per-key models, coordinate-wise /nkeys
+    manual_icpt = sum(result.models[f"2.0#{k}"].intercept
+                      for k in keyed) / 3
+    assert mean.intercept == pytest.approx(manual_icpt)
+
+
+def test_naive_data_size_threshold():
+    rng = np.random.default_rng(2)
+    keyed = {"big": synth_rows(rng, 100), "small": synth_rows(rng, 3)}
+    cfg = NaiveConfig(lambdas=[1.0], data_size_threshold=10,
+                      dtype=jnp.float64)
+    result = train_naive(keyed, cfg)
+    assert result.skipped_keys == ["small"]
+    assert set(result.models) == {"1.0#big"}
+
+
+def test_naive_lambda_map_and_prior_mean():
+    rng = np.random.default_rng(3)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    cfg = NaiveConfig(lambdas=[1.0], lambda_map={"f0": 1000.0},
+                      dtype=jnp.float64)
+    result = train_naive({"0": rows}, cfg, vocab=vocab)
+    w = result.models["1.0#0"].to_dense(vocab)
+    cfg2 = NaiveConfig(lambdas=[1.0], dtype=jnp.float64)
+    w2 = train_naive({"0": rows}, cfg2, vocab=vocab).models["1.0#0"].to_dense(vocab)
+    # heavily regularized f0 shrinks toward 0 relative to the default fit
+    assert abs(w[vocab["f0"]]) < abs(w2[vocab["f0"]]) * 0.5
+
+
+def test_naive_no_intercept_mode():
+    rng = np.random.default_rng(4)
+    rows = synth_rows(rng, 100)
+    cfg = NaiveConfig(lambdas=[1.0], has_intercept=False, dtype=jnp.float64)
+    result = train_naive({"0": rows}, cfg)
+    model = result.models["1.0#0"]
+    assert model.intercept == 0.0
