@@ -1,0 +1,318 @@
+"""Command-line entry points.
+
+`python -m mlease_tpu <subcommand> <config.job>` mirrors the reference's
+`hadoop jar ml-ease.jar com.linkedin.mlease.regression.jobs.<Job> config.job`
+invocation style (reference: README.md:50, Regression.java:88-98), with the
+same properties-file config keys. Subcommands:
+
+  train    full pipeline Prepare -> AdmmTrain -> Test -> TestLoglik
+           (Regression.java:37-80)
+  naive    RegressionNaiveTrain: independent per-(lambda,key) fits
+  item     ItemModelTrain: per-item hyperparameter-grid models (+variance)
+  test     RegressionTest: score with an existing final-model/best-model
+  loglik   RegressionTestLoglik: aggregate scored outputs
+  itemtest ItemModelTest + ItemModelTestLoglik
+  fit      local single-problem fit on a libsvm file (LibLinear.main,
+           LibLinear.java:519-724)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("mlease_tpu")
+
+
+def _load_config(path: str):
+    from mlease_tpu.utils.config import JobConfig
+
+    return JobConfig.from_file(path)
+
+
+def _dtype(config):
+    import jax.numpy as jnp
+
+    name = config.get_string("dtype", "float32")
+    return {"float32": jnp.float32, "float64": jnp.float64,
+            "bfloat16": jnp.bfloat16}[name]
+
+
+# ---------------------------------------------------------------------------
+def cmd_train(args):
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    config = _load_config(args.config)
+    result = run_regression_pipeline(config, dtype=_dtype(config))
+    print(json.dumps({
+        "iterations": result.iterations,
+        "converged": result.converged,
+        "best_lambda": result.best_lambda,
+        "best_loglik": result.best_loglik,
+        "wall_time_s": round(result.wall_time, 2),
+        "models": sorted(result.models),
+    }))
+    return 0
+
+
+def cmd_naive(args):
+    from mlease_tpu.core.linear_model import write_model_file
+    from mlease_tpu.core.prepare import prepare_to_blocks, prepare_to_keyed
+    from mlease_tpu.io import avro
+    from mlease_tpu.train.naive import NaiveConfig, train_naive
+    from mlease_tpu.train.pipeline import read_lambda_map
+
+    config = _load_config(args.config)
+    records = avro.read_records(config.get_string("input.paths"))
+    ignore_value = config.get_boolean("binary.feature", False)
+    map_key = config.get_string("map.key", "")
+    if map_key:
+        keyed = prepare_to_keyed(records, map_key=map_key,
+                                 ignore_value=ignore_value)
+    else:
+        nblocks = config.get_int("num.blocks")
+        blocks = prepare_to_blocks(records, nblocks, ignore_value=ignore_value,
+                                   seed=config.get_int("prepare.seed", 0))
+        keyed = {str(i): b for i, b in enumerate(blocks)}
+
+    lambda_map = None
+    if config.get_string("lambda.map", ""):
+        lambda_map = read_lambda_map(config.get_string("lambda.map"))
+    cfg = NaiveConfig(
+        lambdas=config.get_float_list("lambda"),
+        liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
+        has_intercept=config.get_boolean("has.intercept", True),
+        penalize_intercept=config.get_boolean("penalize.intercept", False),
+        prior_mean=config.get_float("prior.mean", 0.0),
+        lambda_map=lambda_map,
+        data_size_threshold=config.get_int("data.size.threshold", 0),
+        compute_model_mean=config.get_boolean("compute.model.mean", False),
+        dtype=_dtype(config))
+    result = train_naive(keyed, cfg)
+
+    out_base = config.get_string("output.base.path")
+    write_model_file(os.path.join(out_base, "models", "part-r-00000.avro"),
+                     result.models)
+    if result.mean_models is not None:
+        write_model_file(os.path.join(out_base, "final-model",
+                                      "part-r-00000.avro"),
+                         result.mean_models)
+    print(json.dumps({"models": len(result.models),
+                      "skipped": result.skipped_keys,
+                      "mean_models": (sorted(result.mean_models)
+                                      if result.mean_models else None)}))
+    return 0
+
+
+def cmd_item(args):
+    from mlease_tpu.core.prepare import prepare_to_keyed
+    from mlease_tpu.io import avro
+    from mlease_tpu.train.item import (ItemConfig, train_item_models,
+                                       write_item_models)
+    from mlease_tpu.train.pipeline import read_lambda_map
+
+    config = _load_config(args.config)
+    records = avro.read_records(config.get_string("input.paths"))
+    item_key = config.get_string("item.key")
+    keyed = prepare_to_keyed(records, map_key=item_key,
+                             ignore_value=config.get_boolean("binary.feature",
+                                                             False))
+    pm_map = None
+    if config.get_string("intercept.prior.mean.map", ""):
+        pm_map = {}
+        for rec in avro.read_records(
+                config.get_string("intercept.prior.mean.map")):
+            pm_map[str(rec["key"])] = float(rec["value"])
+    lambda_map = None
+    if config.get_string("lambda.map", ""):
+        lambda_map = read_lambda_map(config.get_string("lambda.map"))
+
+    cfg = ItemConfig(
+        intercept_lambdas=config.get_float_list("intercept.lambdas"),
+        default_lambdas=config.get_float_list("default.lambdas"),
+        intercept_default_prior_mean=config.get_float(
+            "intercept.default.prior.mean", 0.0),
+        intercept_prior_mean_map=pm_map,
+        lambda_map=lambda_map,
+        compute_var=config.get_boolean("compute.var", False),
+        liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
+        dtype=_dtype(config))
+    result = train_item_models(keyed, cfg)
+    out = os.path.join(config.get_string("output.model.path"),
+                       "part-r-00000.avro")
+    write_item_models(out, result)
+    print(json.dumps({"models": len(result.models), "output": out}))
+    return 0
+
+
+def cmd_test(args):
+    from mlease_tpu.core.linear_model import read_model_file
+    from mlease_tpu.eval.score import run_regression_test
+    from mlease_tpu.io import avro
+
+    config = _load_config(args.config)
+    records = avro.read_records(config.get_string("input.paths"))
+    with avro.AvroFileReader(avro.enumerate_avro_files(
+            config.get_string("input.paths"))[0]) as r:
+        input_schema = r.schema
+    model_base = config.get_string("model.base.path")
+    models = read_model_file(os.path.join(model_base, "final-model"))
+    best = None
+    best_dir = os.path.join(model_base, "best-model")
+    if os.path.exists(best_dir):
+        best_models = read_model_file(best_dir)
+        if best_models:
+            best = next(iter(best_models.values()))
+    lambdas = config.get_string_list("lambda", list(models))
+    out = run_regression_test(
+        records, input_schema, models, config.get_string("output.base.path"),
+        lambdas, best_model=best,
+        ignore_value=config.get_boolean("binary.feature", False))
+    print(json.dumps({"outputs": out}))
+    return 0
+
+
+def cmd_loglik(args):
+    from mlease_tpu.eval.loglik import run_test_loglik
+
+    config = _load_config(args.config)
+    if not config.get_boolean("get.test.loglik", True):
+        print(json.dumps({"skipped": True}))
+        return 0
+    results = run_test_loglik(
+        config.get_string("input.base.paths"),
+        config.get_string("output.base.path"),
+        config.get_string_list("lambda", []))
+    print(json.dumps(results))
+    return 0
+
+
+def cmd_itemtest(args):
+    from mlease_tpu.core.linear_model import LinearModel
+    from mlease_tpu.eval.item_score import (run_item_model_test,
+                                            run_item_model_test_loglik)
+    from mlease_tpu.io import avro
+
+    config = _load_config(args.config)
+    records = avro.read_records(config.get_string("input.paths"))
+    with avro.AvroFileReader(avro.enumerate_avro_files(
+            config.get_string("input.paths"))[0]) as r:
+        input_schema = r.schema
+    models = {}
+    for rec in avro.read_records(config.get_string("model.path")):
+        models[rec["key"]] = LinearModel.from_avro(rec["model"])
+    prefixes = config.get_string_list(
+        "model.prefixes", sorted({k.split("#", 1)[0] for k in models}))
+    out_base = config.get_string("output.base.path")
+    scored = run_item_model_test(
+        records, input_schema, models,
+        os.path.join(out_base, "pred", "part-r-00000.avro"),
+        item_key=config.get_string("item.key"), model_prefixes=prefixes,
+        ignore_value=config.get_boolean("binary.feature", False))
+    agg = run_item_model_test_loglik(
+        scored, os.path.join(out_base, "_loglik", "part-r-00000.avro"))
+    print(json.dumps(agg))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+def read_libsvm(path: str):
+    """libsvm-ish lines: `label name:value name:value ...` (string feature
+    names allowed, as in LibLinearDataset.readFromLibSVM,
+    LibLinearDataset.java:216-310)."""
+    rows = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            toks = line.split()
+            if not toks:
+                continue
+            try:
+                label = int(float(toks[0]))
+            except ValueError as e:
+                raise ValueError(f"{path}:{lineno}: bad label") from e
+            feats = []
+            for tok in toks[1:]:
+                name, _, val = tok.rpartition(":")
+                if not name:
+                    raise ValueError(f"{path}:{lineno}: bad feature {tok!r}")
+                feats.append((name, float(val)))
+            rows.append({"response": label, "features": feats,
+                         "weight": 1.0, "offset": 0.0})
+    return rows
+
+
+def cmd_fit(args):
+    """Local single-problem fit (LibLinear.main, LibLinear.java:519-724)."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.core import build_vocab, pack_rows
+    from mlease_tpu.ops import objective as obj
+    from mlease_tpu.ops.tron import tron
+
+    rows = read_libsvm(args.data)
+    vocab = build_vocab(rows, has_intercept=args.bias > 0)
+    blk = pack_rows(rows, vocab, bias=args.bias if args.bias > 0 else 1.0)
+    n = vocab.size
+    pvi = np.full(n, 1.0 / args.prior_var)
+    prob = obj.make_problem(blk, np.zeros(n), pvi,
+                            dtype=jnp.float64 if args.f64 else jnp.float32)
+    scale = float(obj.class_balance_eps_scale(
+        blk.y[None], np.array([blk.nrows]))[0])
+    res = tron(prob, jnp.zeros(n, prob.values.dtype),
+               eps=args.epsilon * scale, max_iter=args.max_iter)
+    w = np.asarray(res.w, np.float64)
+
+    lines = []
+    for i in range(n):
+        lines.append(f"{vocab.name(i)} = {w[i]:.17g}")
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        if args.posterior_var:
+            hd = np.asarray(obj.hessian_diagonal(prob, res.w), np.float64)
+            with open(args.out + ".var", "w") as f:
+                for i in range(n):
+                    f.write(f"{vocab.name(i)} = {1.0 / hd[i]:.17g}\n")
+    else:
+        sys.stdout.write(text)
+    print(f"# iterations={int(res.iterations)} "
+          f"cg={int(res.cg_iterations)} f={float(res.f):.8g} "
+          f"converged={bool(res.converged)}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=os.environ.get("MLEASE_LOG", "INFO"),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="mlease_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("train", cmd_train), ("naive", cmd_naive),
+                     ("item", cmd_item), ("test", cmd_test),
+                     ("loglik", cmd_loglik), ("itemtest", cmd_itemtest)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("config", help="properties-format job config file")
+        sp.set_defaults(fn=fn)
+    fit = sub.add_parser("fit")
+    fit.add_argument("data", help="libsvm-format input file")
+    fit.add_argument("--out", default="")
+    fit.add_argument("--bias", type=float, default=1.0)
+    fit.add_argument("--prior-var", type=float, default=1.0)
+    fit.add_argument("--epsilon", type=float, default=0.01)
+    fit.add_argument("--max-iter", type=int, default=1000)
+    fit.add_argument("--posterior-var", action="store_true")
+    fit.add_argument("--f64", action="store_true")
+    fit.set_defaults(fn=cmd_fit)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

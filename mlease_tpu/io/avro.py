@@ -560,7 +560,11 @@ def enumerate_avro_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
     found: list[str] = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # '_'/'.'-prefixed path components are ignored at every level, as in
+        # AvroUtils.addAllSubPaths (AvroUtils.java:54-66,126-129)
+        dirs[:] = [d for d in dirs
+                   if not d.startswith("_") and not d.startswith(".")]
         for f in sorted(files):
             if f.startswith("_") or f.startswith("."):
                 continue

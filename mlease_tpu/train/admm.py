@@ -68,6 +68,7 @@ class AdmmConfig:
     lambda_map: Mapping[str, float] | None = None
     positive_weight: float = 1.0
     reference_l1_compat: bool = False
+    relaxation: float = 1.0       # ADMM over-relaxation alpha (1.0 = reference)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -106,7 +107,8 @@ def _lambda_key(lam: float) -> str:
 
 def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     penalize_intercept: bool, reference_l1_compat: bool,
-                    max_newton_iter: int, max_cg_iter: int) -> Callable:
+                    max_newton_iter: int, max_cg_iter: int,
+                    relaxation: float = 1.0) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
@@ -146,6 +148,11 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         # absent-feature exactness: features with no data in block b solve to
         # the prior mean z - u_b (LibLinear.java:373-397)
         x = jnp.where(present[None, :, :], x, prior_mean)
+        if relaxation != 1.0:
+            # over-relaxation x_hat = alpha*x + (1-alpha)*z (Boyd et al. 2011
+            # section 3.4.3) — an acceleration the reference does not have;
+            # disabled (alpha=1) by default for exact reference semantics.
+            x = relaxation * x + (1.0 - relaxation) * z[:, None, :]
 
         # consensus means over real blocks only (mesh-padding blocks masked);
         # on a sharded mesh these are the psum collectives replacing meanModel
@@ -251,6 +258,7 @@ class AdmmTrainer:
             reference_l1_compat=config.reference_l1_compat,
             max_newton_iter=config.max_newton_iter,
             max_cg_iter=config.max_cg_iter,
+            relaxation=config.relaxation,
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)
@@ -271,7 +279,16 @@ class AdmmTrainer:
 
     # ------------------------------------------------------------------
     def run(self, z0: np.ndarray | None = None,
+            u0: np.ndarray | None = None, *, start_iteration: int = 1,
+            inner_eps0: float | None = None, mindiff0: float = 99999999.0,
+            best_loglik0: float = -9999999.0,
             callback: Callable | None = None) -> AdmmResult:
+        """Run the driver loop.
+
+        z0/u0/start_iteration/inner_eps0/mindiff0/best_loglik0 resume from a
+        checkpoint (mlease_tpu.utils.checkpoint) — the analogue of restarting
+        from the reference's iter-i/ HDFS state.
+        """
         cfg = self.config
         L, n = len(self.lambdas), self.dim
         dtype = cfg.dtype
@@ -280,15 +297,20 @@ class AdmmTrainer:
 
         z = (jnp.zeros((L, n), dtype) if z0 is None
              else jnp.asarray(np.broadcast_to(z0, (L, n)), dtype))
-        u = jnp.zeros((L, self.data.nblocks, n), dtype)
+        if u0 is None:
+            u = jnp.zeros((L, self.data.nblocks, n), dtype)
+        else:
+            u = jnp.zeros((L, self.data.nblocks, n), dtype
+                          ).at[:, :u0.shape[1], :].set(jnp.asarray(u0, dtype))
         if self.mesh is not None:
             from mlease_tpu.parallel.mesh import block_sharding, replicated
             z = jax.device_put(z, replicated(self.mesh))
             u = jax.device_put(u, block_sharding(self.mesh, 1))
 
-        inner_eps = cfg.liblinear_epsilon
-        mindiff = 99999999.0
-        best_loglik = -9999999.0
+        inner_eps = (cfg.liblinear_epsilon if inner_eps0 is None
+                     else float(inner_eps0))
+        mindiff = mindiff0
+        best_loglik = best_loglik0
         best_model: LinearModel | None = None
         best_lambda: str | None = None
         loglik_history: list[dict] = []
@@ -302,8 +324,8 @@ class AdmmTrainer:
                 loglik_history.append({"lambda": _lambda_key(lam), "iter": 0,
                                        "testLoglik": float(ll)})
 
-        iteration = 0
-        for iteration in range(1, cfg.num_iters + 1):
+        iteration = start_iteration - 1
+        for iteration in range(start_iteration, cfg.num_iters + 1):
             inner_eps = admm_math.inner_eps_schedule(
                 inner_eps, iteration, mindiff,
                 aggressive=cfg.aggressive_liblinear_epsilon_decay)

@@ -1,0 +1,233 @@
+"""End-to-end pipeline: Prepare -> AdmmTrain -> Test -> TestLoglik.
+
+TPU-native Regression driver (reference:
+src/main/java/com/linkedin/mlease/regression/jobs/Regression.java:37-98),
+keeping the reference's on-disk layout so downstream consumers can switch
+frameworks without changes:
+
+  <out>/tmp-data/                      prepared rows (RegressionPrepareOutput)
+  <out>/lambda-rho/part-r-00000.avro   LambdaRhoMap
+  <out>/initialModel/                  naive warm-start models (when boosted)
+  <out>/sample-test-loglik/iteration-N.avro
+  <out>/best-model/best-iteration-N.avro
+  <out>/final-model/part-r-00000.avro
+  <out>/checkpoint/                    per-iteration (z,u,...) resume state
+  <out>/test/lambda-<l>/part-r-00000.avro (+ /_loglik/), /test/best-model/...
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlease_tpu.core.dataset import pack_blocks
+from mlease_tpu.core.linear_model import (LinearModel, mean_model,
+                                          write_model_file)
+from mlease_tpu.core.prepare import prepare_rows
+from mlease_tpu.core.vocab import build_vocab
+from mlease_tpu.eval.loglik import run_test_loglik
+from mlease_tpu.eval.score import run_regression_test
+from mlease_tpu.io import avro, schemas
+from mlease_tpu.io.records import feature_key, row_to_prepare_record
+from mlease_tpu.train.admm import AdmmConfig, AdmmResult, AdmmTrainer
+from mlease_tpu.train.naive import NaiveConfig, train_naive
+from mlease_tpu.utils import checkpoint as ckpt
+from mlease_tpu.utils.config import JobConfig
+
+logger = logging.getLogger(__name__)
+
+
+def read_lambda_map(path: str) -> dict[str, float]:
+    """Per-feature lambda map from Avro {name, term, value} records
+    (reference: ReadLambdaMapConsumer,
+    regression/consumers/ReadLambdaMapConsumer.java)."""
+    out = {}
+    for rec in avro.read_records(path):
+        out[feature_key(rec["name"], rec.get("term"))] = float(rec["value"])
+    return out
+
+
+def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
+    lambdas = config.get_float_list("lambda")
+    rhos = None
+    if "rho" in config:
+        rhos = config.get_float_list("rho")
+    lambda_map = None
+    lm_path = config.get_string("lambda.map", "")
+    if lm_path:
+        lambda_map = read_lambda_map(lm_path)
+    return AdmmConfig(
+        lambdas=lambdas,
+        rhos=rhos,
+        num_iters=config.get_int("num.iters", 10),
+        regularizer=config.get_int("regularizer"),
+        epsilon=config.get_float("epsilon", 1e-4),
+        liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
+        aggressive_liblinear_epsilon_decay=config.get_boolean(
+            "aggressive.liblinear.epsilon.decay", False),
+        penalize_intercept=config.get_boolean("penalize.intercept", False),
+        initialize_boost_rate=config.get_float("initialize.boost.rate", 0.0),
+        rho_adapt_coefficient=config.get_float("rho.adapt.coefficient", 0.0),
+        num_click_replicates=config.get_int("num.click.replicates", 1),
+        test_loglik_per_iter=config.get_boolean("test.loglik.per.iter", False),
+        lambda_map=lambda_map,
+        relaxation=config.get_float("relaxation", 1.0),
+        reference_l1_compat=config.get_boolean("reference.l1.compat", False),
+        dtype=dtype if dtype is not None else {
+            "float32": jnp.float32, "float64": jnp.float64,
+            "bfloat16": jnp.bfloat16,
+        }[config.get_string("dtype", "float32")],
+    )
+
+
+def run_regression_pipeline(config: JobConfig, mesh=None,
+                            dtype=None) -> AdmmResult:
+    out_base = config.get_string("output.base.path")
+    if config.get_boolean("force.output.overwrite", False):
+        shutil.rmtree(out_base, ignore_errors=True)
+    os.makedirs(out_base, exist_ok=True)
+
+    cfg = admm_config_from_job(config, dtype=dtype)
+    nblocks = config.get_int("num.blocks")
+    ignore_value = config.get_boolean("binary.feature", False)
+    map_key = config.get_string("map.key", "")
+
+    # ---- Prepare (RegressionPrepare) --------------------------------
+    input_paths = config.get_string("input.paths")
+    records = avro.read_records(input_paths)
+    logger.info("prepare: %d input records", len(records))
+    prepared = list(prepare_rows(
+        records, nblocks, map_key=map_key,
+        num_click_replicates=cfg.num_click_replicates,
+        ignore_value=ignore_value,
+        seed=config.get_int("prepare.seed", 0)))
+    avro.write_records(
+        os.path.join(out_base, "tmp-data", "part-m-00000.avro"),
+        schemas.REGRESSION_PREPARE_OUTPUT,
+        (row_to_prepare_record(k, r) for k, r in prepared))
+
+    blocks: list[list[dict]] = [[] for _ in range(nblocks)]
+    for key, row in prepared:
+        blocks[int(key)].append(row)
+
+    vocab = build_vocab((r for _k, r in prepared), has_intercept=True)
+    vocab.save(os.path.join(out_base, "model-vocab.json"))
+    data = pack_blocks(blocks, vocab)
+    logger.info("packed %d blocks, %d rows padded to (%d, %d), %d features",
+                data.nblocks, int(data.nrows.sum()), data.padded_rows,
+                data.max_nnz, data.dim)
+
+    # lambda -> rho map file (RegressionAdmmTrain.java:200-201)
+    avro.write_records(
+        os.path.join(out_base, "lambda-rho", "part-r-00000.avro"),
+        schemas.LAMBDA_RHO_MAP,
+        [{"lambda": float(l), "rho": float(r)}
+         for l, r in zip(cfg.lambdas, cfg.resolved_rhos())])
+
+    # ---- test rows for per-iteration sample loglik -------------------
+    test_path = config.get_string("test.path", "")
+    test_rows = None
+    test_records = None
+    if test_path and os.path.exists(test_path):
+        from mlease_tpu.io.records import normalize_row
+
+        test_records = avro.read_records(test_path)
+        # reference caps at the FIRST part-file / 1M events
+        test_rows = [normalize_row(r, ignore_value=ignore_value)
+                     for r in test_records]
+
+    # ---- optional warm start (naive mean init, AdmmTrain.java:236-276)
+    z0 = None
+    if cfg.initialize_boost_rate > 0 and cfg.regularizer == 2:
+        logger.info("warm start: naive mean-model initialization")
+        naive_cfg = NaiveConfig(
+            lambdas=sorted(set(cfg.lambdas)),
+            liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
+            lambda_map=cfg.lambda_map, compute_model_mean=True,
+            dtype=cfg.dtype)
+        keyed = {str(i): blocks[i] for i in range(nblocks) if blocks[i]}
+        naive_res = train_naive(keyed, naive_cfg, vocab=vocab, mesh=mesh)
+        write_model_file(os.path.join(out_base, "initialModel",
+                                      "part-r-00000.avro"), naive_res.models)
+        # per-lambda init from that lambda's mean model
+        # (AdmmTrain.java:262-270)
+        z0 = np.stack([
+            naive_res.mean_models[_fmt(l)].to_dense(vocab)
+            if _fmt(l) in naive_res.mean_models else np.zeros(vocab.size)
+            for l in cfg.lambdas])
+
+    # ---- ADMM train ---------------------------------------------------
+    trainer = AdmmTrainer(data, vocab, cfg, test_rows=test_rows, mesh=mesh)
+
+    ckpt_dir = os.path.join(out_base, "checkpoint")
+    resume = config.get_boolean("resume", False)
+    run_kwargs: dict[str, Any] = {}
+    if resume:
+        state = ckpt.load_latest(ckpt_dir)
+        if state is not None:
+            logger.info("resuming from checkpoint iter %d", state["iteration"])
+            run_kwargs = dict(
+                z0=state["z"], u0=state["u"],
+                start_iteration=state["iteration"] + 1,
+                inner_eps0=state["inner_eps"], mindiff0=state["mindiff"],
+                best_loglik0=state["best_loglik"])
+            z0 = None
+
+    best_state = {"loglik": -9999999.0}
+
+    def on_iteration(iteration, z, u, diffs, inner_eps):
+        ckpt.save_checkpoint(ckpt_dir, iteration, np.asarray(z),
+                             np.asarray(u), inner_eps=inner_eps,
+                             mindiff=float(diffs.min()),
+                             best_loglik=best_state["loglik"])
+        if not config.get_boolean("keep.all.checkpoints", False):
+            ckpt.prune_checkpoints(ckpt_dir, keep=2)
+
+    if "z0" not in run_kwargs:
+        run_kwargs["z0"] = z0
+    result = trainer.run(callback=on_iteration, **run_kwargs)
+
+    # ---- outputs ------------------------------------------------------
+    write_model_file(os.path.join(out_base, "final-model",
+                                  "part-r-00000.avro"), result.models)
+    if result.sample_loglik_history:
+        by_iter: dict[int, list] = {}
+        for entry in result.sample_loglik_history:
+            by_iter.setdefault(entry["iter"], []).append(entry)
+        for it, entries in by_iter.items():
+            avro.write_records(
+                os.path.join(out_base, "sample-test-loglik",
+                             f"iteration-{it}.avro"),
+                schemas.SAMPLE_TEST_LOGLIK, entries)
+    if result.best_model is not None:
+        write_model_file(
+            os.path.join(out_base, "best-model",
+                         f"best-iteration-{result.iterations}.avro"),
+            {result.best_lambda: result.best_model})
+
+    # ---- Test + TestLoglik (Regression.java:63-80) -------------------
+    if test_records:
+        with avro.AvroFileReader(avro.enumerate_avro_files(test_path)[0]) as r:
+            input_schema = r.schema
+        test_base = os.path.join(out_base, "test")
+        run_regression_test(
+            test_records, input_schema, result.models, test_base,
+            [k for k in result.models], best_model=result.best_model,
+            ignore_value=ignore_value)
+        if config.get_boolean("get.test.loglik", True):
+            logliks = run_test_loglik(test_base, test_base,
+                                      [k for k in result.models])
+            for name, rec in logliks.items():
+                logger.info("test loglik %s: %.6f (n=%.0f)", name,
+                            rec["testLoglik"], rec["count"])
+    return result
+
+
+def _fmt(lam: float) -> str:
+    from mlease_tpu.train.admm import _lambda_key
+    return _lambda_key(lam)

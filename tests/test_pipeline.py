@@ -1,0 +1,144 @@
+"""End-to-end pipeline on the reference's own example fixture
+(examples/sample-data.avro + sample-config.job semantics) — the de-facto
+smoke test of the reference (README.md:44-50, SURVEY.md section 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mlease_tpu.core.linear_model import read_model_file
+from mlease_tpu.io import avro
+from mlease_tpu.utils.config import JobConfig
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(tmp_path_factory):
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    out = str(tmp_path_factory.mktemp("sample-out"))
+    config = JobConfig({
+        "input.paths": path,
+        "output.base.path": out,
+        "test.path": path,          # self-test, as the sample config reuses data
+        "num.blocks": "5",
+        "lambda": "1,10",
+        "num.iters": "30",
+        "regularizer": "2",
+        "test.loglik.per.iter": "true",
+        "force.output.overwrite": "true",
+        "relaxation": "1.8",     # over-relaxed ADMM (framework extension)
+        "dtype": "float64",
+    })
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    result = run_regression_pipeline(config)
+    return config, out, result
+
+
+def test_pipeline_outputs_layout(pipeline_result):
+    _config, out, result = pipeline_result
+    assert os.path.exists(os.path.join(out, "tmp-data", "part-m-00000.avro"))
+    assert os.path.exists(os.path.join(out, "lambda-rho", "part-r-00000.avro"))
+    assert os.path.exists(os.path.join(out, "final-model", "part-r-00000.avro"))
+    assert os.path.exists(os.path.join(out, "model-vocab.json"))
+    assert os.path.isdir(os.path.join(out, "sample-test-loglik"))
+    assert os.path.isdir(os.path.join(out, "checkpoint"))
+    # best model written
+    best_files = os.listdir(os.path.join(out, "best-model"))
+    assert any(f.startswith("best-iteration-") for f in best_files)
+    # test outputs per lambda + loglik
+    for lam in ("1.0", "10.0"):
+        assert os.path.exists(os.path.join(out, "test", f"lambda-{lam}",
+                                           "part-r-00000.avro"))
+        assert os.path.exists(os.path.join(out, "test", f"lambda-{lam}",
+                                           "_loglik", "part-r-00000.avro"))
+
+
+def test_pipeline_models_and_loglik_quality(pipeline_result):
+    _config, out, result = pipeline_result
+    models = read_model_file(os.path.join(out, "final-model"))
+    assert set(models) == {"1.0", "10.0"}
+    # loglik must beat the base-rate (intercept-only) model
+    records = avro.read_records("/root/reference/examples/sample-data.avro")
+    from mlease_tpu.io.records import normalize_row
+
+    rows = [normalize_row(r) for r in records]
+    p = np.mean([1 if r["response"] == 1 else 0 for r in rows])
+    base_ll = p * np.log(p) + (1 - p) * np.log(1 - p)
+    for lam in ("1.0", "10.0"):
+        ll_rec = avro.read_records(
+            os.path.join(out, "test", f"lambda-{lam}", "_loglik"))[0]
+        assert ll_rec["key"] == "averageTestLoglik"
+        assert ll_rec["testLoglik"] > base_ll
+        assert ll_rec["count"] == pytest.approx(len(rows))
+    # per-iteration loglik improved over iterations for lambda=1
+    ll1 = [e["testLoglik"] for e in result.sample_loglik_history
+           if e["lambda"] == "1.0"]
+    assert ll1[-1] >= ll1[0]
+
+
+def test_pipeline_scored_output_sorted_with_pred(pipeline_result):
+    _config, out, _result = pipeline_result
+    recs = avro.read_records(os.path.join(out, "test", "lambda-1.0",
+                                          "part-r-00000.avro"))
+    preds = [r["pred"] for r in recs]
+    assert preds == sorted(preds)
+    assert len(recs) == 1000
+    # passthrough fields intact
+    assert "features" in recs[0] and "response" in recs[0]
+
+
+def test_pipeline_matches_global_fit(pipeline_result):
+    """5-block consensus ~= single-machine fit on the same objective."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.core import build_vocab, pack_rows
+    from mlease_tpu.core.vocab import FeatureVocab
+    from mlease_tpu.io.records import normalize_row
+    from mlease_tpu.ops import objective as obj
+    from mlease_tpu.ops.tron import tron
+
+    _config, out, result = pipeline_result
+    records = avro.read_records("/root/reference/examples/sample-data.avro")
+    rows = [normalize_row(r) for r in records]
+    vocab = FeatureVocab.load(os.path.join(out, "model-vocab.json"))
+    blk = pack_rows(rows, vocab)
+    lam = 1.0
+    pvi = np.full(vocab.size, lam)
+    pvi[vocab.intercept_index] = 1e-6  # unpenalized intercept
+    prob = obj.make_problem(blk, np.zeros(vocab.size), pvi, dtype=jnp.float64)
+    w_global = np.asarray(
+        tron(prob, jnp.zeros(vocab.size, jnp.float64), eps=1e-8).w)
+    w_admm = result.models["1.0"].to_dense(vocab)
+    # "theoretically close to what you would have obtained ... on a single
+    # machine" (README.md:42) — with over-relaxation (alpha=1.8) the
+    # coefficients are close after 30 iterations on this 5-block split
+    err = np.abs(w_admm - w_global).max()
+    assert err < 0.05, err
+    # and the held-out (self) loglik matches the global fit tightly
+
+    def loglik(w):
+        s = np.asarray(obj.scores(prob, jnp.asarray(w)))
+        y = np.asarray(prob.y)
+        wt = np.asarray(prob.weight)
+        return float(np.sum(-np.logaddexp(0, -y * s) * wt) / np.sum(wt))
+
+    assert abs(loglik(w_admm) - loglik(w_global)) < 2e-3
+
+
+def test_pipeline_resume(pipeline_result, tmp_path):
+    """Crash-resume from checkpoints continues without redoing iterations."""
+    config, out, result = pipeline_result
+    cfg2 = JobConfig(config)
+    cfg2["force.output.overwrite"] = "false"
+    cfg2["resume"] = "true"
+    cfg2["num.iters"] = str(result.iterations + 2)
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    result2 = run_regression_pipeline(cfg2)
+    # resumed run starts after the checkpointed iteration
+    assert result2.iterations >= result.iterations
+    assert np.all(np.isfinite(result2.z))
