@@ -1,0 +1,144 @@
+"""CLI subcommand smoke tests (train pipeline, naive, fit on libsvm)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mlease_tpu.cli import main, read_libsvm
+from mlease_tpu.io import avro, schemas
+
+
+def write_job(tmp_path, **kv):
+    path = str(tmp_path / "job.job")
+    with open(path, "w") as f:
+        f.write("# test job\n")
+        for k, v in kv.items():
+            f.write(f"{k}={v}\n")
+    return path
+
+
+def synth_avro(tmp_path, name="data.avro", n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for _ in range(n):
+        nnz = int(rng.integers(1, 5))
+        feats = [{"name": f"f{int(j)}", "term": "", "value": float(rng.normal())}
+                 for j in rng.choice(10, nnz, replace=False)]
+        score = sum(f["value"] for f in feats) - 0.3
+        recs.append({"key": "", "response": int(rng.random() < 1/(1+np.exp(-score))),
+                     "features": feats, "weight": 1.0, "offset": 0.0})
+    path = str(tmp_path / name)
+    avro.write_records(path, schemas.REGRESSION_PREPARE_OUTPUT, recs)
+    return path
+
+
+def test_cli_train(tmp_path, capsys):
+    data = synth_avro(tmp_path)
+    out = str(tmp_path / "out")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out, "test.path": data,
+        "num.blocks": 3, "lambda": "1", "num.iters": 4, "regularizer": 2,
+        "test.loglik.per.iter": "true", "force.output.overwrite": "true",
+        "dtype": "float64"})
+    assert main(["train", job]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["models"] == ["1.0"]
+    assert os.path.exists(os.path.join(out, "final-model", "part-r-00000.avro"))
+
+
+def test_cli_naive_and_itemtest(tmp_path, capsys):
+    data = synth_avro(tmp_path)
+    out = str(tmp_path / "nout")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out, "num.blocks": 2,
+        "lambda": "1,5", "compute.model.mean": "true", "dtype": "float64"})
+    assert main(["naive", job]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["models"] == 4
+    assert printed["mean_models"] == ["1.0", "5.0"]
+    assert os.path.exists(os.path.join(out, "final-model", "part-r-00000.avro"))
+
+
+def test_cli_item(tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    recs = []
+    for i in range(120):
+        recs.append({"item": f"it{i % 3}", "response": int(rng.integers(0, 2)),
+                     "features": [{"name": "a", "term": "", "value": 1.0}],
+                     "weight": 1.0, "offset": 0.0})
+    schema = {
+        "type": "record", "name": "R", "fields": [
+            {"name": "item", "type": "string"},
+            {"name": "response", "type": "int"},
+            {"name": "features", "type": {"type": "array", "items": {
+                "type": "record", "name": "feature", "fields": [
+                    {"name": "name", "type": "string"},
+                    {"name": "term", "type": "string"},
+                    {"name": "value", "type": "float"}]}}},
+            {"name": "weight", "type": "float"},
+            {"name": "offset", "type": "float"}]}
+    data = str(tmp_path / "items.avro")
+    avro.write_records(data, schema, recs)
+    model_out = str(tmp_path / "imodels")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "item.key": "item",
+        "intercept.lambdas": "1", "default.lambdas": "1,4",
+        "compute.var": "true", "output.model.path": model_out,
+        "dtype": "float64"})
+    assert main(["item", job]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["models"] == 6  # 3 items x 1x2 grid
+
+    # itemtest on the trained models
+    test_out = str(tmp_path / "itest")
+    job2 = write_job(tmp_path, **{
+        "input.paths": data, "model.path": printed["output"],
+        "item.key": "item", "output.base.path": test_out})
+    assert main(["itemtest", job2]) == 0
+    agg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(agg) == 2  # one record per grid prefix
+    assert all(a["count"] == 120 for a in agg)
+
+
+def test_cli_fit_libsvm(tmp_path, capsys):
+    rng = np.random.default_rng(2)
+    lines = []
+    for _ in range(100):
+        y = int(rng.integers(0, 2))
+        lines.append(f"{y} x:{rng.normal():.4f} z:{rng.normal():.4f}")
+    path = str(tmp_path / "train.libsvm")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    out = str(tmp_path / "model.txt")
+    assert main(["fit", path, "--out", out, "--posterior-var", "--f64"]) == 0
+    text = open(out).read()
+    assert "(INTERCEPT) =" in text and "x =" in text
+    assert os.path.exists(out + ".var")
+    rows = read_libsvm(path)
+    assert len(rows) == 100
+
+
+def test_cli_test_and_loglik(tmp_path, capsys):
+    data = synth_avro(tmp_path)
+    out = str(tmp_path / "out2")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out, "test.path": data,
+        "num.blocks": 2, "lambda": "1", "num.iters": 3, "regularizer": 2,
+        "force.output.overwrite": "true", "dtype": "float64"})
+    assert main(["train", job]) == 0
+    capsys.readouterr()
+    score_out = str(tmp_path / "scored")
+    job_t = write_job(tmp_path, **{
+        "input.paths": data, "model.base.path": out,
+        "output.base.path": score_out, "lambda": "1.0"})
+    assert main(["test", job_t]) == 0
+    capsys.readouterr()
+    job_l = write_job(tmp_path, **{
+        "input.base.paths": score_out, "output.base.path": score_out,
+        "lambda": "1.0"})
+    assert main(["loglik", job_l]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "1.0" in res
+    assert res["1.0"]["testLoglik"] < 0
