@@ -53,6 +53,9 @@ class ItemConfig:
     full_cov: bool = False
     liblinear_epsilon: float = 0.01
     positive_weight: float = 1.0
+    solver: str = "cholesky"   # "cholesky": dense Newton + MXU Gram (the
+                               # speed-of-light small-problem path); "tron":
+                               # the CG solver shared with the ADMM x-update
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -118,8 +121,17 @@ def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
     il_arr = jnp.asarray([g[0] for g in grid], dtype)
     dl_arr = jnp.asarray([g[1] for g in grid], dtype)
 
-    solver = partial(tron, max_iter=cfg.max_newton_iter,
-                     max_cg_iter=cfg.max_cg_iter)
+    if cfg.solver == "cholesky":
+        from mlease_tpu.ops.newton import newton_cholesky
+
+        def solver(prob, w0, eps):
+            return newton_cholesky(prob, w0, eps,
+                                   max_iter=min(cfg.max_newton_iter, 100))
+    elif cfg.solver == "tron":
+        solver = partial(tron, max_iter=cfg.max_newton_iter,
+                         max_cg_iter=cfg.max_cg_iter)
+    else:
+        raise ValueError(f"unknown solver {cfg.solver!r}")
 
     def solve_bucket_fn(F):
         """Batched (grid x item) solve + posterior variance for one bucket

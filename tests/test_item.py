@@ -31,7 +31,7 @@ def reference_fit(rows, il, dl, pm_intercept=0.0, lambda_map=None):
     prob = obj.make_problem(blk, pm, pvi, dtype=jnp.float64)
     scale = float(obj.class_balance_eps_scale(blk.y[None],
                                               np.array([blk.nrows]))[0])
-    res = tron(prob, jnp.zeros(n, jnp.float64), eps=0.01 * scale)
+    res = tron(prob, jnp.zeros(n, jnp.float64), eps=1e-5 * scale)
     w = np.asarray(res.w)
     hd = np.asarray(obj.hessian_diagonal(prob, jnp.asarray(w)))
     return vocab, w, 1.0 / hd
@@ -42,7 +42,8 @@ def test_item_grid_keys_and_values():
     keyed = {"itemA": synth_rows(rng, 60, n_feat=5),
              "itemB": synth_rows(rng, 200, n_feat=9)}  # different bucket
     cfg = ItemConfig(intercept_lambdas=[1.0, 5.0], default_lambdas=[2.0],
-                     compute_var=True, dtype=jnp.float64)
+                     compute_var=True, dtype=jnp.float64,
+                     liblinear_epsilon=1e-5)
     result = train_item_models(keyed, cfg)
     assert set(result.models) == {
         "1.0:2.0#itemA", "5.0:2.0#itemA", "1.0:2.0#itemB", "5.0:2.0#itemB"}
