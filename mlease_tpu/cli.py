@@ -254,7 +254,17 @@ def cmd_fit(args):
     from mlease_tpu.ops import objective as obj
     from mlease_tpu.ops.tron import tron
 
-    rows = read_libsvm(args.data)
+    if args.ftype == "json":
+        from mlease_tpu.io.records import read_json_rows
+
+        rows = read_json_rows(args.data)
+    elif args.ftype == "avro":
+        from mlease_tpu.io import avro
+        from mlease_tpu.io.records import normalize_row
+
+        rows = [normalize_row(r) for r in avro.read_records(args.data)]
+    else:
+        rows = read_libsvm(args.data)
     vocab = build_vocab(rows, has_intercept=args.bias > 0)
     blk = pack_rows(rows, vocab, bias=args.bias if args.bias > 0 else 1.0)
     n = vocab.size
@@ -300,7 +310,9 @@ def main(argv=None):
         sp.add_argument("config", help="properties-format job config file")
         sp.set_defaults(fn=fn)
     fit = sub.add_parser("fit")
-    fit.add_argument("data", help="libsvm-format input file")
+    fit.add_argument("data", help="input file (libsvm/json/avro)")
+    fit.add_argument("--ftype", choices=["libsvm", "json", "avro"],
+                     default="libsvm")
     fit.add_argument("--out", default="")
     fit.add_argument("--bias", type=float, default=1.0)
     fit.add_argument("--prior-var", type=float, default=1.0)

@@ -149,6 +149,32 @@ class LinearModel:
             return -math.log1p(math.exp(-xbeta)) * weight
         return -math.log1p(math.exp(xbeta)) * weight
 
+    def to_string(self, intercept_key: str = "0", inner_delim: str = "=",
+                  outer_delim: str = " ") -> str:
+        """"key1=value1 key2=value2 ..." text form (reference:
+        LinearModel.toString, LinearModel.java:580-610)."""
+        parts = [f"{intercept_key}{inner_delim}{self.intercept!r}"]
+        for k, v in self.coefficients.items():
+            parts.append(f"{k}{inner_delim}{v!r}")
+        return outer_delim.join(parts)
+
+    @classmethod
+    def from_string(cls, text: str, intercept_key: str = "0",
+                    inner_delim: str = "=",
+                    outer_delim: str = " ") -> "LinearModel":
+        coeffs: dict[str, float] = {}
+        intercept = 0.0
+        for tok in text.split(outer_delim):
+            tok = tok.strip()
+            if not tok:
+                continue
+            k, _, v = tok.partition(inner_delim)
+            if k == intercept_key:
+                intercept = float(v)
+            else:
+                coeffs[k] = float(v)
+        return cls(coeffs, intercept)
+
     # -- misc ----------------------------------------------------------------
     def __len__(self) -> int:
         return len(self.coefficients)

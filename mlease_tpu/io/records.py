@@ -102,6 +102,27 @@ def row_to_prepare_record(key: str, row: Mapping[str, Any]) -> dict:
     }
 
 
+def read_json_rows(path: str, ignore_value: bool = False) -> list[dict]:
+    """JSON-lines input: one {response/click/label, features:[{name,term,
+    value}], weight?, offset?} object per line (the reference's JSON ingest,
+    LibLinearDataset.addInstanceJSON, LibLinearDataset.java:241-310)."""
+    import json
+
+    rows = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rows.append(normalize_row(json.loads(line),
+                                          ignore_value=ignore_value))
+            except (ValueError, KeyError) as e:
+                raise ValueError(
+                    f"Error found when processing {path}:{lineno}: {e}") from e
+    return rows
+
+
 def prepare_record_to_row(record: Mapping[str, Any],
                           ignore_value: bool = False) -> dict:
     """RegressionPrepareOutput record -> canonical row."""

@@ -52,6 +52,13 @@ def read_lambda_map(path: str) -> dict[str, float]:
     return out
 
 
+def read_lambda_rho(path: str) -> dict[float, float]:
+    """{lambda -> rho} from a LambdaRhoMap Avro file (reference:
+    ReadLambdaRhoConsumer, regression/consumers/ReadLambdaRhoConsumer.java)."""
+    return {float(rec["lambda"]): float(rec["rho"])
+            for rec in avro.read_records(path)}
+
+
 def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
     lambdas = config.get_float_list("lambda")
     rhos = None
