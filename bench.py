@@ -91,6 +91,7 @@ def main():
 
     lambdas = [1.0, 10.0, 100.0][:n_lambdas]
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
+                     dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
 
@@ -103,8 +104,9 @@ def main():
 
     def step(z, u):
         return trainer.step(trainer.indices, trainer.values, trainer.y,
-                            trainer.weight, trainer.offset, trainer.present,
-                            trainer.block_valid, z, u, lam_vec, rho_eff, eps)
+                            trainer.weight, trainer.offset, trainer.csc,
+                            trainer.present, trainer.block_valid, z, u,
+                            lam_vec, rho_eff, eps)
 
     # warmup / compile
     t0 = time.monotonic()

@@ -170,6 +170,30 @@ def pack_blocks(block_rows: Sequence[Sequence[Mapping]], vocab, *,
     )
 
 
+def csc_arrays(data: BlockedData) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Column-sorted dual layout of every block's nonzeros.
+
+    Returns (cols, rows, vals), each (B, R*K): the same nonzeros as the ELL
+    layout flattened and stably sorted by column id per block. Padding slots
+    (value 0, column 0) sort to the front and contribute nothing. Static per
+    dataset — computed once at pack time, reused every solver pass.
+    """
+    B, R, K = data.indices.shape
+    cols = data.indices.reshape(B, -1)
+    vals = data.values.reshape(B, -1)
+    rows = np.broadcast_to(np.arange(R, dtype=np.int32)[:, None],
+                           (R, K)).reshape(-1)
+    out_cols = np.empty_like(cols)
+    out_rows = np.empty((B, R * K), np.int32)
+    out_vals = np.empty_like(vals)
+    for b in range(B):
+        order = np.argsort(cols[b], kind="stable")
+        out_cols[b] = cols[b][order]
+        out_rows[b] = rows[order]
+        out_vals[b] = vals[b][order]
+    return out_cols, out_rows, out_vals
+
+
 def partition_rows(rows: Iterable[Mapping], keys: Iterable[str],
                    nblocks: int) -> list[list[Mapping]]:
     """Group prepared rows by integer partition key into nblocks lists."""

@@ -34,6 +34,12 @@ class LRProblem(NamedTuple):
     """One x-update problem over one padded data block.
 
     All arrays may carry leading batch dims when used under vmap.
+
+    The optional csc_* arrays are the column-sorted dual layout of the same
+    nonzeros: when present, X'v is computed as a gather + sorted segment-sum
+    instead of a scatter-add — TPU scatter is several times slower than
+    gather, so the dual layout trades 2x nonzero storage for the faster
+    transpose pass (see SURVEY.md section 7 "sparse irregularity on TPU").
     """
 
     indices: jax.Array      # (R, K) int32 — vocab columns
@@ -43,6 +49,9 @@ class LRProblem(NamedTuple):
     offset: jax.Array       # (R,)
     prior_mean: jax.Array   # (n,)
     prior_var_inv: jax.Array  # (n,)
+    csc_cols: jax.Array | None = None   # (R*K,) int32 sorted ascending
+    csc_rows: jax.Array | None = None   # (R*K,) int32 row of each nonzero
+    csc_vals: jax.Array | None = None   # (R*K,)
 
     @property
     def dim(self) -> int:
@@ -83,7 +92,16 @@ def xv(prob: LRProblem, v: jax.Array) -> jax.Array:
 
 
 def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
-    """X' @ d : (n,) accumulation. Flat scatter-add over nonzeros."""
+    """X' @ d : (n,) accumulation.
+
+    Default: flat scatter-add over nonzeros. With the CSC dual layout:
+    gather d by row, segment-sum over the (sorted) column ids — no scatter.
+    """
+    if prob.csc_cols is not None:
+        contrib = prob.csc_vals * d[prob.csc_rows]
+        return jax.ops.segment_sum(contrib, prob.csc_cols,
+                                   num_segments=prob.dim,
+                                   indices_are_sorted=True)
     contrib = (prob.values * d[:, None]).reshape(-1)
     flat_idx = prob.indices.reshape(-1)
     return jnp.zeros(prob.dim, dtype=prob.values.dtype).at[flat_idx].add(contrib)

@@ -69,6 +69,7 @@ class AdmmConfig:
     positive_weight: float = 1.0
     reference_l1_compat: bool = False
     relaxation: float = 1.0       # ADMM over-relaxation alpha (1.0 = reference)
+    dual_layout: bool = False     # CSC gather-based X'v (2x nnz storage)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -108,42 +109,49 @@ def _lambda_key(lam: float) -> str:
 def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     penalize_intercept: bool, reference_l1_compat: bool,
                     max_newton_iter: int, max_cg_iter: int,
-                    relaxation: float = 1.0) -> Callable:
+                    relaxation: float = 1.0,
+                    dual_layout: bool = False) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
       data: indices (B,R,K), values (B,R,K), y/weight/offset (B,R),
-            present (B,n) bool
+            present (B,n) bool; with dual_layout also csc (cols,rows,vals)
+            each (B,R*K)
       z (L,n), u (L,B,n), lam_vec (L,n), rho_eff (L,), eps (B,)
     Returns (z_new, u_new, diffs (L,)).
     """
 
     solver = partial(tron, max_iter=max_newton_iter, max_cg_iter=max_cg_iter)
 
-    def solve_one(indices, values, y, weight, offset, prior_mean,
+    def solve_one(indices, values, y, weight, offset, csc, prior_mean,
                   prior_var_inv, w0, eps):
+        cols, rows, vals = csc if dual_layout else (None, None, None)
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
-                             prior_var_inv=prior_var_inv)
+                             prior_var_inv=prior_var_inv,
+                             csc_cols=cols, csc_rows=rows, csc_vals=vals)
         return solver(prob, w0, eps).w
 
     # inner vmap over blocks: data + prior_mean + eps batched, w0/prior_var
     # shared; outer vmap over lambdas: data shared (no duplication in HBM),
     # prior_mean/prior_var/w0 batched.
+    csc_inner = (0, 0, 0) if dual_layout else None
+    csc_outer = (None, None, None) if dual_layout else None
     solve_blocks = jax.vmap(solve_one,
-                            in_axes=(0, 0, 0, 0, 0, 0, None, None, 0))
+                            in_axes=(0, 0, 0, 0, 0, csc_inner, 0, None, None, 0))
     solve_grid = jax.vmap(solve_blocks,
-                          in_axes=(None, None, None, None, None, 0, 0, 0, None))
+                          in_axes=(None, None, None, None, None, csc_outer,
+                                   0, 0, 0, None))
 
-    def step(indices, values, y, weight, offset, present, block_valid, z, u,
-             lam_vec, rho_eff, eps):
+    def step(indices, values, y, weight, offset, csc, present, block_valid,
+             z, u, lam_vec, rho_eff, eps):
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
         prior_var_inv = (rho_eff[:, None]
                          * jnp.ones((1, n), dtype))          # priorVar = 1/rho
-        x = solve_grid(indices, values, y, weight, offset,
+        x = solve_grid(indices, values, y, weight, offset, csc,
                        prior_mean, prior_var_inv, z, eps)     # (L,B,n)
         # absent-feature exactness: features with no data in block b solve to
         # the prior mean z - u_b (LibLinear.java:373-397)
@@ -176,7 +184,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
         return z_new, u_new, diffs
 
-    return jax.jit(step, donate_argnums=(8,))
+    return jax.jit(step, donate_argnums=(9,))
 
 
 def build_loglik_fn() -> Callable:
@@ -229,8 +237,15 @@ class AdmmTrainer:
         eps_scale = jnp.asarray(
             obj.class_balance_eps_scale(data.y, data.nrows), dtype)
 
+        # optional column-sorted dual layout (gather-based X'v)
+        csc = (None, None, None)
+        if config.dual_layout:
+            from mlease_tpu.core.dataset import csc_arrays
+            cc, cr, cv = csc_arrays(data)
+            csc = (jnp.asarray(cc), jnp.asarray(cr), jnp.asarray(cv, dtype))
+
         if mesh is not None:
-            from mlease_tpu.parallel.mesh import shard_blocked_arrays
+            from mlease_tpu.parallel.mesh import shard_blocked_arrays, block_sharding
             sharded = shard_blocked_arrays(mesh, {
                 "indices": indices, "values": values, "y": y,
                 "weight": weight, "offset": offset, "present": present,
@@ -239,9 +254,13 @@ class AdmmTrainer:
             weight, offset = sharded["weight"], sharded["offset"]
             present, eps_scale = sharded["present"], sharded["eps"]
             block_valid = sharded["block_valid"]
+            if config.dual_layout:
+                sh = block_sharding(mesh, 0)
+                csc = tuple(jax.device_put(a, sh) for a in csc)
         self.indices, self.values, self.y = indices, values, y
         self.weight, self.offset, self.present = weight, offset, present
         self.eps_scale, self.block_valid = eps_scale, block_valid
+        self.csc = csc
 
         # per-feature lambda vectors (lambda.map)
         lam_vecs = np.stack([
@@ -259,6 +278,7 @@ class AdmmTrainer:
             max_newton_iter=config.max_newton_iter,
             max_cg_iter=config.max_cg_iter,
             relaxation=config.relaxation,
+            dual_layout=config.dual_layout,
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)
@@ -339,9 +359,9 @@ class AdmmTrainer:
             eps = inner_eps * self.eps_scale
 
             z, u, diffs = self.step(self.indices, self.values, self.y,
-                                    self.weight, self.offset, self.present,
-                                    self.block_valid, z, u, self.lam_vec,
-                                    rho_eff, eps)
+                                    self.weight, self.offset, self.csc,
+                                    self.present, self.block_valid, z, u,
+                                    self.lam_vec, rho_eff, eps)
             diffs_np = np.asarray(diffs, np.float64)
             mindiff = float(diffs_np.min())
             maxdiff = float(diffs_np.max())
