@@ -187,12 +187,18 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
 
     best_state = {"loglik": -9999999.0}
 
+    # remove.tmp.dir=true in the reference deletes old iter-i/ state
+    # (RegressionAdmmTrain.java:475-479); false keeps everything. Absent, we
+    # prune to the newest 2 checkpoints to bound disk.
+    keep_all = ("remove.tmp.dir" in config
+                and not config.get_boolean("remove.tmp.dir", False))
+
     def on_iteration(iteration, z, u, diffs, inner_eps):
         ckpt.save_checkpoint(ckpt_dir, iteration, np.asarray(z),
                              np.asarray(u), inner_eps=inner_eps,
                              mindiff=float(diffs.min()),
                              best_loglik=best_state["loglik"])
-        if not config.get_boolean("keep.all.checkpoints", False):
+        if not keep_all:
             ckpt.prune_checkpoints(ckpt_dir, keep=2)
 
     if "z0" not in run_kwargs:
