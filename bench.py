@@ -92,6 +92,7 @@ def main():
     lambdas = [1.0, 10.0, 100.0][:n_lambdas]
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
                      dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
+                     head_size=int(os.environ.get("BENCH_HEAD", "512")),
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
 
@@ -105,21 +106,23 @@ def main():
     def step(z, u):
         return trainer.step(trainer.indices, trainer.values, trainer.y,
                             trainer.weight, trainer.offset, trainer.csc,
-                            trainer.present, trainer.block_valid, z, u,
-                            lam_vec, rho_eff, eps)
+                            trainer.head, trainer.present,
+                            trainer.block_valid, z, u, lam_vec, rho_eff, eps)
 
-    # warmup / compile
+    # NOTE: timings force a host fetch of the per-iteration diffs —
+    # block_until_ready alone does not reliably wait on the tunneled axon
+    # platform, so device->host transfer is the only honest barrier.
     t0 = time.monotonic()
     z, u, d = step(z, u)
-    jax.block_until_ready((z, d))
-    compile_time = time.monotonic() - t0
+    np.asarray(d)
+    compile_time = time.monotonic() - t0  # includes the first (cold) solve
 
     # cold iteration (z=u=0, full-depth TRON solves)
     z = jnp.zeros((L, n), jnp.float32)
     u = jnp.zeros((L, data.nblocks, n), jnp.float32)
     t0 = time.monotonic()
     z, u, d = step(z, u)
-    jax.block_until_ready((z, d))
+    np.asarray(d)
     cold_iter = time.monotonic() - t0
 
     # steady state: warm-started iterations (the regime of a 10-20 iteration
@@ -127,7 +130,7 @@ def main():
     t0 = time.monotonic()
     for _ in range(iters):
         z, u, d = step(z, u)
-    jax.block_until_ready((z, d))
+    np.asarray(d)
     elapsed = time.monotonic() - t0
     iters_per_s = iters / elapsed
 

@@ -48,9 +48,18 @@ class Block(NamedTuple):
 
 
 class BlockedData(NamedTuple):
-    """B stacked blocks, ready for vmap/sharding over the leading axis."""
+    """B stacked blocks, ready for vmap/sharding over the leading axis.
 
-    indices: np.ndarray   # (B, R, K) int32
+    `head` is the optional dense-head hybrid layout: with a
+    frequency-ordered vocabulary, the hottest `H` columns (indices 0..H-1,
+    which in power-law data cover most nonzeros) are stored as a dense
+    (B, R, H) matrix whose mat-vecs ride the MXU, while `indices`/`values`
+    hold only the cold tail. TPUs have no vector gather hardware (see
+    DESIGN.md section 3), so moving the hot mass into dense matmuls is the
+    difference between bandwidth-bound and scatter-bound solves.
+    """
+
+    indices: np.ndarray   # (B, R, K) int32 — all nonzeros, or tail-only when head is set
     values: np.ndarray    # (B, R, K) float
     y: np.ndarray         # (B, R) float
     weight: np.ndarray    # (B, R) float
@@ -59,6 +68,8 @@ class BlockedData(NamedTuple):
     nrows: np.ndarray     # (B,) int32 real row counts
     nblocks: int
     dim: int              # n = vocab.size (including intercept column)
+    head: np.ndarray | None = None       # (B, R, H) dense hot columns
+    head_ids: np.ndarray | None = None   # (H,) int32 vocab ids of head slots
 
     @property
     def padded_rows(self) -> int:
@@ -67,6 +78,10 @@ class BlockedData(NamedTuple):
     @property
     def max_nnz(self) -> int:
         return self.indices.shape[2]
+
+    @property
+    def head_size(self) -> int:
+        return 0 if self.head is None else self.head.shape[2]
 
 
 def pack_rows(rows: Sequence[Mapping], vocab, *, bias: float = 1.0,
@@ -168,6 +183,51 @@ def pack_blocks(block_rows: Sequence[Sequence[Mapping]], vocab, *,
         nblocks=nblocks,
         dim=n,
     )
+
+
+def to_hybrid(data: BlockedData, head_size: int, *,
+              nnz_multiple: int = 8) -> BlockedData:
+    """Split a packed dataset into dense-head + sparse-tail hybrid layout.
+
+    head_ids = the `head_size` most frequent columns across all blocks
+    (weighted by nonzero count; the intercept's bias column is in every row,
+    so it always lands in the head). Nonzeros on head columns move into the
+    dense (B, R, H) matrix; the ELL arrays are repacked with only the tail,
+    whose per-row width shrinks accordingly.
+    """
+    B, R, K = data.indices.shape
+    H = min(head_size, data.dim)
+    if H <= 0:
+        return data
+
+    flat_idx = data.indices.reshape(-1)
+    flat_val = data.values.reshape(-1)
+    counts = np.bincount(flat_idx[flat_val != 0], minlength=data.dim)
+    head_ids = np.sort(np.argsort(-counts, kind="stable")[:H]).astype(np.int32)
+    head_pos = np.full(data.dim, -1, np.int32)
+    head_pos[head_ids] = np.arange(H, dtype=np.int32)
+
+    is_head = (head_pos[data.indices] >= 0) & (data.values != 0)  # (B,R,K)
+
+    head = np.zeros((B, R, H), data.values.dtype)
+    b_ix, r_ix, k_ix = np.nonzero(is_head)
+    np.add.at(head, (b_ix, r_ix, head_pos[data.indices[b_ix, r_ix, k_ix]]),
+              data.values[b_ix, r_ix, k_ix])
+
+    tail_mask = (~is_head) & (data.values != 0)
+    tail_counts = tail_mask.sum(axis=2)                            # (B,R)
+    K_tail = _round_up(max(int(tail_counts.max(initial=0)), 1), nnz_multiple)
+    tail_idx = np.zeros((B, R, K_tail), np.int32)
+    tail_val = np.zeros((B, R, K_tail), data.values.dtype)
+    for b in range(B):
+        for r in np.nonzero(tail_counts[b])[0]:
+            m = tail_mask[b, r]
+            k = int(tail_counts[b, r])
+            tail_idx[b, r, :k] = data.indices[b, r][m]
+            tail_val[b, r, :k] = data.values[b, r][m]
+
+    return data._replace(indices=tail_idx, values=tail_val, head=head,
+                         head_ids=head_ids)
 
 
 def csc_arrays(data: BlockedData) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

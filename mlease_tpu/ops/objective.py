@@ -42,7 +42,7 @@ class LRProblem(NamedTuple):
     transpose pass (see SURVEY.md section 7 "sparse irregularity on TPU").
     """
 
-    indices: jax.Array      # (R, K) int32 — vocab columns
+    indices: jax.Array      # (R, K) int32 — vocab columns (tail-only in hybrid)
     values: jax.Array       # (R, K) — 0.0 on padding
     y: jax.Array            # (R,) — +1/-1 (+1 on padding rows)
     weight: jax.Array       # (R,) — Cp/Cn-folded instance weight, 0 on padding
@@ -52,6 +52,8 @@ class LRProblem(NamedTuple):
     csc_cols: jax.Array | None = None   # (R*K,) int32 sorted ascending
     csc_rows: jax.Array | None = None   # (R*K,) int32 row of each nonzero
     csc_vals: jax.Array | None = None   # (R*K,)
+    head_x: jax.Array | None = None     # (R, H) dense hot columns (MXU path)
+    head_ids: jax.Array | None = None   # (H,) int32 vocab ids of head slots
 
     @property
     def dim(self) -> int:
@@ -87,8 +89,16 @@ def make_problem(block, prior_mean, prior_var_inv, *, positive_weight: float = 1
 # ---------------------------------------------------------------------------
 
 def xv(prob: LRProblem, v: jax.Array) -> jax.Array:
-    """X @ v : (R,) scores. Gather + row reduction."""
-    return jnp.sum(prob.values * v[prob.indices], axis=-1)
+    """X @ v : (R,) scores.
+
+    Tail: gather + row reduction. Hybrid head: one (R, H) @ (H,) MXU matvec
+    over the hot columns (the bulk of power-law nonzeros) — the gather only
+    touches the H head coefficients.
+    """
+    out = jnp.sum(prob.values * v[prob.indices], axis=-1)
+    if prob.head_x is not None:
+        out = out + prob.head_x @ v[prob.head_ids]
+    return out
 
 
 def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
@@ -98,13 +108,18 @@ def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
     gather d by row, segment-sum over the (sorted) column ids — no scatter.
     """
     if prob.csc_cols is not None:
-        contrib = prob.csc_vals * d[prob.csc_rows]
-        return jax.ops.segment_sum(contrib, prob.csc_cols,
-                                   num_segments=prob.dim,
-                                   indices_are_sorted=True)
-    contrib = (prob.values * d[:, None]).reshape(-1)
-    flat_idx = prob.indices.reshape(-1)
-    return jnp.zeros(prob.dim, dtype=prob.values.dtype).at[flat_idx].add(contrib)
+        out = jax.ops.segment_sum(prob.csc_vals * d[prob.csc_rows],
+                                  prob.csc_cols, num_segments=prob.dim,
+                                  indices_are_sorted=True)
+    else:
+        contrib = (prob.values * d[:, None]).reshape(-1)
+        flat_idx = prob.indices.reshape(-1)
+        out = jnp.zeros(prob.dim,
+                        dtype=prob.values.dtype).at[flat_idx].add(contrib)
+    if prob.head_x is not None:
+        # (H,) head accumulation via one MXU matvec + an H-sized scatter
+        out = out.at[prob.head_ids].add(prob.head_x.T @ d)
+    return out
 
 
 def scores(prob: LRProblem, w: jax.Array) -> jax.Array:
@@ -157,8 +172,11 @@ def hessian_diagonal(prob: LRProblem, w: jax.Array) -> jax.Array:
     q = prob.weight * p * (1.0 - p)
     contrib = (prob.values * prob.values * q[:, None]).reshape(-1)
     flat_idx = prob.indices.reshape(-1)
-    return (jnp.full(prob.dim, 0.0, dtype=prob.values.dtype)
-            .at[flat_idx].add(contrib) + prob.prior_var_inv)
+    out = (jnp.full(prob.dim, 0.0, dtype=prob.values.dtype)
+           .at[flat_idx].add(contrib) + prob.prior_var_inv)
+    if prob.head_x is not None:
+        out = out.at[prob.head_ids].add((prob.head_x * prob.head_x).T @ q)
+    return out
 
 
 def densify(prob: LRProblem) -> jax.Array:
@@ -167,7 +185,10 @@ def densify(prob: LRProblem) -> jax.Array:
     R, K = prob.indices.shape
     X = jnp.zeros((R, prob.dim), dtype=prob.values.dtype)
     rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, K)).reshape(-1)
-    return X.at[rows, prob.indices.reshape(-1)].add(prob.values.reshape(-1))
+    X = X.at[rows, prob.indices.reshape(-1)].add(prob.values.reshape(-1))
+    if prob.head_x is not None:
+        X = X.at[:, prob.head_ids].add(prob.head_x)
+    return X
 
 
 def dense_hessian(prob: LRProblem, w: jax.Array) -> jax.Array:

@@ -85,6 +85,8 @@ def pad_blocks(data: BlockedData, multiple: int) -> tuple[BlockedData, np.ndarra
         weight=pad(data.weight), offset=pad(data.offset),
         present=pad(data.present), nrows=pad(data.nrows),
         nblocks=B_pad, dim=data.dim,
+        head=None if data.head is None else pad(data.head),
+        head_ids=data.head_ids,
     ), valid
 
 
@@ -96,7 +98,7 @@ def shard_blocked_arrays(mesh: Mesh, arrays: dict) -> dict:
     """
     out = {}
     data_sharded = {"indices", "values", "y", "weight", "offset", "present",
-                    "eps", "block_valid"}
+                    "eps", "block_valid", "head"}
     for name, arr in arrays.items():
         if name in data_sharded:
             sh = block_sharding(mesh, 0)

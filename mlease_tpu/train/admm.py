@@ -70,6 +70,8 @@ class AdmmConfig:
     reference_l1_compat: bool = False
     relaxation: float = 1.0       # ADMM over-relaxation alpha (1.0 = reference)
     dual_layout: bool = False     # CSC gather-based X'v (2x nnz storage)
+    head_size: int = 0            # dense-head hybrid: top-H hot columns ride
+                                  # the MXU (see DESIGN.md section 3); 0 = off
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -110,7 +112,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     penalize_intercept: bool, reference_l1_compat: bool,
                     max_newton_iter: int, max_cg_iter: int,
                     relaxation: float = 1.0,
-                    dual_layout: bool = False) -> Callable:
+                    dual_layout: bool = False,
+                    use_head: bool = False) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
@@ -123,14 +126,16 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
 
     solver = partial(tron, max_iter=max_newton_iter, max_cg_iter=max_cg_iter)
 
-    def solve_one(indices, values, y, weight, offset, csc, prior_mean,
+    def solve_one(indices, values, y, weight, offset, csc, head, prior_mean,
                   prior_var_inv, w0, eps):
         cols, rows, vals = csc if dual_layout else (None, None, None)
+        head_x, head_ids = head
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
                              prior_var_inv=prior_var_inv,
-                             csc_cols=cols, csc_rows=rows, csc_vals=vals)
+                             csc_cols=cols, csc_rows=rows, csc_vals=vals,
+                             head_x=head_x, head_ids=head_ids)
         return solver(prob, w0, eps).w
 
     # inner vmap over blocks: data + prior_mean + eps batched, w0/prior_var
@@ -138,20 +143,22 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     # prior_mean/prior_var/w0 batched.
     csc_inner = (0, 0, 0) if dual_layout else None
     csc_outer = (None, None, None) if dual_layout else None
+    head_inner = (0, None) if use_head else None
     solve_blocks = jax.vmap(solve_one,
-                            in_axes=(0, 0, 0, 0, 0, csc_inner, 0, None, None, 0))
+                            in_axes=(0, 0, 0, 0, 0, csc_inner, head_inner,
+                                     0, None, None, 0))
     solve_grid = jax.vmap(solve_blocks,
                           in_axes=(None, None, None, None, None, csc_outer,
-                                   0, 0, 0, None))
+                                   None, 0, 0, 0, None))
 
-    def step(indices, values, y, weight, offset, csc, present, block_valid,
-             z, u, lam_vec, rho_eff, eps):
+    def step(indices, values, y, weight, offset, csc, head, present,
+             block_valid, z, u, lam_vec, rho_eff, eps):
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
         prior_var_inv = (rho_eff[:, None]
                          * jnp.ones((1, n), dtype))          # priorVar = 1/rho
-        x = solve_grid(indices, values, y, weight, offset, csc,
+        x = solve_grid(indices, values, y, weight, offset, csc, head,
                        prior_mean, prior_var_inv, z, eps)     # (L,B,n)
         # absent-feature exactness: features with no data in block b solve to
         # the prior mean z - u_b (LibLinear.java:373-397)
@@ -184,7 +191,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
         return z_new, u_new, diffs
 
-    return jax.jit(step, donate_argnums=(9,))
+    return jax.jit(step, donate_argnums=(10,))
 
 
 def build_loglik_fn() -> Callable:
@@ -212,6 +219,10 @@ class AdmmTrainer:
         self.mesh = mesh
         self.nblocks = data.nblocks  # real block count (consensus divisor)
         dtype = config.dtype
+
+        if config.head_size > 0 and data.head is None:
+            from mlease_tpu.core.dataset import to_hybrid
+            data = to_hybrid(data, config.head_size)
 
         block_valid = np.ones(data.nblocks, dtype=np.float64)
         if mesh is not None:
@@ -244,6 +255,12 @@ class AdmmTrainer:
             cc, cr, cv = csc_arrays(data)
             csc = (jnp.asarray(cc), jnp.asarray(cr), jnp.asarray(cv, dtype))
 
+        # optional dense-head hybrid
+        head = (None, None)
+        if data.head is not None:
+            head = (jnp.asarray(data.head, dtype),
+                    jnp.asarray(data.head_ids))
+
         if mesh is not None:
             from mlease_tpu.parallel.mesh import shard_blocked_arrays, block_sharding
             sharded = shard_blocked_arrays(mesh, {
@@ -257,10 +274,15 @@ class AdmmTrainer:
             if config.dual_layout:
                 sh = block_sharding(mesh, 0)
                 csc = tuple(jax.device_put(a, sh) for a in csc)
+            if head[0] is not None:
+                from mlease_tpu.parallel.mesh import replicated
+                head = (jax.device_put(head[0], block_sharding(mesh, 0)),
+                        jax.device_put(head[1], replicated(mesh)))
         self.indices, self.values, self.y = indices, values, y
         self.weight, self.offset, self.present = weight, offset, present
         self.eps_scale, self.block_valid = eps_scale, block_valid
         self.csc = csc
+        self.head = head
 
         # per-feature lambda vectors (lambda.map)
         lam_vecs = np.stack([
@@ -279,6 +301,7 @@ class AdmmTrainer:
             max_cg_iter=config.max_cg_iter,
             relaxation=config.relaxation,
             dual_layout=config.dual_layout,
+            use_head=data.head is not None,
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)
@@ -360,7 +383,8 @@ class AdmmTrainer:
 
             z, u, diffs = self.step(self.indices, self.values, self.y,
                                     self.weight, self.offset, self.csc,
-                                    self.present, self.block_valid, z, u,
+                                    self.head, self.present,
+                                    self.block_valid, z, u,
                                     self.lam_vec, rho_eff, eps)
             diffs_np = np.asarray(diffs, np.float64)
             mindiff = float(diffs_np.min())

@@ -1,0 +1,117 @@
+"""Dense-head hybrid layout: exactness vs the pure-sparse path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlease_tpu.core import build_vocab, pack_blocks
+from mlease_tpu.core.dataset import to_hybrid
+from mlease_tpu.ops import objective as obj
+from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+
+from test_admm import synth_rows
+
+
+def test_to_hybrid_preserves_nonzeros():
+    rng = np.random.default_rng(0)
+    rows = synth_rows(rng, 100)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[:50], rows[50:]], vocab)
+    hyb = to_hybrid(data, head_size=3)
+    assert hyb.head.shape == (2, data.padded_rows, 3)
+    # intercept column (in every row) must be in the head
+    assert vocab.intercept_index in hyb.head_ids
+    # per-row reconstruction: head + tail == original multiset of (col, val)
+    for b in range(2):
+        for r in range(data.nrows[b]):
+            orig = {}
+            for k in range(data.max_nnz):
+                v = data.values[b, r, k]
+                if v != 0:
+                    orig[data.indices[b, r, k]] = orig.get(
+                        data.indices[b, r, k], 0.0) + v
+            recon = {}
+            for h, col in enumerate(hyb.head_ids):
+                v = hyb.head[b, r, h]
+                if v != 0:
+                    recon[col] = recon.get(col, 0.0) + v
+            for k in range(hyb.indices.shape[2]):
+                v = hyb.values[b, r, k]
+                if v != 0:
+                    recon[hyb.indices[b, r, k]] = recon.get(
+                        hyb.indices[b, r, k], 0.0) + v
+            assert set(orig) == set(recon)
+            for c in orig:
+                assert orig[c] == pytest.approx(recon[c], abs=1e-6)
+
+
+def test_hybrid_objective_matches_sparse():
+    rng = np.random.default_rng(1)
+    rows = synth_rows(rng, 120)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows], vocab)
+    hyb = to_hybrid(data, head_size=4)
+    n = vocab.size
+
+    def mkprob(d, hybrid):
+        kw = {}
+        if hybrid:
+            kw = dict(head_x=jnp.asarray(d.head[0], jnp.float64),
+                      head_ids=jnp.asarray(d.head_ids))
+        return obj.LRProblem(
+            indices=jnp.asarray(d.indices[0]),
+            values=jnp.asarray(d.values[0], jnp.float64),
+            y=jnp.asarray(d.y[0], jnp.float64),
+            weight=jnp.asarray(d.weight[0], jnp.float64),
+            offset=jnp.asarray(d.offset[0], jnp.float64),
+            prior_mean=jnp.zeros(n, jnp.float64),
+            prior_var_inv=jnp.ones(n, jnp.float64), **kw)
+
+    p_sparse = mkprob(data, False)
+    p_hyb = mkprob(hyb, True)
+    w = jnp.asarray(rng.normal(size=n) * 0.2)
+    d_vec = jnp.asarray(rng.normal(size=data.y.shape[1]))
+
+    np.testing.assert_allclose(np.asarray(obj.xv(p_hyb, w)),
+                               np.asarray(obj.xv(p_sparse, w)),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obj.xtv(p_hyb, d_vec)),
+                               np.asarray(obj.xtv(p_sparse, d_vec)),
+                               rtol=1e-12, atol=1e-12)
+    assert float(obj.fun(p_hyb, w)) == pytest.approx(
+        float(obj.fun(p_sparse, w)), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(obj.grad(p_hyb, w)),
+                               np.asarray(obj.grad(p_sparse, w)),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obj.hessian_diagonal(p_hyb, w)),
+                               np.asarray(obj.hessian_diagonal(p_sparse, w)),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obj.densify(p_hyb)),
+                               np.asarray(obj.densify(p_sparse)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_admm_hybrid_matches_sparse():
+    rng = np.random.default_rng(2)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64)
+    res_sparse = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
+    res_hyb = AdmmTrainer(data, vocab,
+                          AdmmConfig(head_size=4, **base)).run()
+    np.testing.assert_allclose(res_hyb.z, res_sparse.z, rtol=1e-8, atol=1e-10)
+
+
+def test_admm_hybrid_on_mesh():
+    from mlease_tpu.parallel import cpu_devices, make_mesh
+
+    rng = np.random.default_rng(3)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::4] for i in range(4)], vocab)
+    base = dict(lambdas=[1.0], num_iters=4, dtype=jnp.float64, head_size=4)
+    res_single = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
+    mesh = make_mesh(cpu_devices())
+    res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()
+    np.testing.assert_allclose(res_mesh.z, res_single.z, rtol=1e-12, atol=1e-12)
