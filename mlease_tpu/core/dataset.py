@@ -70,6 +70,9 @@ class BlockedData(NamedTuple):
     dim: int              # n = vocab.size (including intercept column)
     head: np.ndarray | None = None       # (B, R, H) dense hot columns
     head_ids: np.ndarray | None = None   # (H,) int32 vocab ids of head slots
+    tail_rows: np.ndarray | None = None  # (B, T) int32 flat-COO tail rows
+    tail_cols: np.ndarray | None = None  # (B, T) int32 flat-COO tail columns
+    tail_vals: np.ndarray | None = None  # (B, T) flat-COO tail values
 
     @property
     def padded_rows(self) -> int:
@@ -214,20 +217,29 @@ def to_hybrid(data: BlockedData, head_size: int, *,
     np.add.at(head, (b_ix, r_ix, head_pos[data.indices[b_ix, r_ix, k_ix]]),
               data.values[b_ix, r_ix, k_ix])
 
+    # tail goes to flat COO per block: no per-row padding at all (an ELL tail
+    # would be almost entirely padding since hot columns carry most nonzeros)
     tail_mask = (~is_head) & (data.values != 0)
-    tail_counts = tail_mask.sum(axis=2)                            # (B,R)
-    K_tail = _round_up(max(int(tail_counts.max(initial=0)), 1), nnz_multiple)
-    tail_idx = np.zeros((B, R, K_tail), np.int32)
-    tail_val = np.zeros((B, R, K_tail), data.values.dtype)
+    per_block = tail_mask.reshape(B, -1).sum(axis=1)
+    T = _round_up(max(int(per_block.max(initial=0)), 1), 128)
+    tail_rows = np.zeros((B, T), np.int32)
+    tail_cols = np.zeros((B, T), np.int32)
+    tail_vals = np.zeros((B, T), data.values.dtype)
+    row_of_slot = np.broadcast_to(
+        np.arange(R, dtype=np.int32)[:, None], (R, K))
     for b in range(B):
-        for r in np.nonzero(tail_counts[b])[0]:
-            m = tail_mask[b, r]
-            k = int(tail_counts[b, r])
-            tail_idx[b, r, :k] = data.indices[b, r][m]
-            tail_val[b, r, :k] = data.values[b, r][m]
+        m = tail_mask[b]
+        t = int(m.sum())
+        tail_rows[b, :t] = row_of_slot[m]
+        tail_cols[b, :t] = data.indices[b][m]
+        tail_vals[b, :t] = data.values[b][m]
 
-    return data._replace(indices=tail_idx, values=tail_val, head=head,
-                         head_ids=head_ids)
+    empty = np.zeros((B, R, 0))
+    return data._replace(indices=empty.astype(np.int32),
+                         values=empty.astype(data.values.dtype),
+                         head=head, head_ids=head_ids,
+                         tail_rows=tail_rows, tail_cols=tail_cols,
+                         tail_vals=tail_vals)
 
 
 def csc_arrays(data: BlockedData) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -54,6 +54,9 @@ class LRProblem(NamedTuple):
     csc_vals: jax.Array | None = None   # (R*K,)
     head_x: jax.Array | None = None     # (R, H) dense hot columns (MXU path)
     head_ids: jax.Array | None = None   # (H,) int32 vocab ids of head slots
+    tail_rows: jax.Array | None = None  # (T,) int32 flat-COO tail (hybrid)
+    tail_cols: jax.Array | None = None  # (T,) int32
+    tail_vals: jax.Array | None = None  # (T,)
 
     @property
     def dim(self) -> int:
@@ -91,13 +94,20 @@ def make_problem(block, prior_mean, prior_var_inv, *, positive_weight: float = 1
 def xv(prob: LRProblem, v: jax.Array) -> jax.Array:
     """X @ v : (R,) scores.
 
-    Tail: gather + row reduction. Hybrid head: one (R, H) @ (H,) MXU matvec
-    over the hot columns (the bulk of power-law nonzeros) — the gather only
-    touches the H head coefficients.
+    ELL path: gather + row reduction. Hybrid: one (R, H) @ (H,) MXU matvec
+    over the hot head columns (the bulk of power-law nonzeros) plus a short
+    flat-COO pass over the padding-free tail.
     """
-    out = jnp.sum(prob.values * v[prob.indices], axis=-1)
+    R = prob.y.shape[-1]
+    if prob.indices.shape[-1] > 0:
+        out = jnp.sum(prob.values * v[prob.indices], axis=-1)
+    else:
+        out = jnp.zeros(R, dtype=prob.values.dtype)
     if prob.head_x is not None:
         out = out + prob.head_x @ v[prob.head_ids]
+    if prob.tail_cols is not None:
+        contrib = prob.tail_vals * v[prob.tail_cols]
+        out = out.at[prob.tail_rows].add(contrib)
     return out
 
 
@@ -111,14 +121,18 @@ def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
         out = jax.ops.segment_sum(prob.csc_vals * d[prob.csc_rows],
                                   prob.csc_cols, num_segments=prob.dim,
                                   indices_are_sorted=True)
-    else:
+    elif prob.indices.shape[-1] > 0:
         contrib = (prob.values * d[:, None]).reshape(-1)
         flat_idx = prob.indices.reshape(-1)
         out = jnp.zeros(prob.dim,
                         dtype=prob.values.dtype).at[flat_idx].add(contrib)
+    else:
+        out = jnp.zeros(prob.dim, dtype=prob.values.dtype)
     if prob.head_x is not None:
         # (H,) head accumulation via one MXU matvec + an H-sized scatter
         out = out.at[prob.head_ids].add(prob.head_x.T @ d)
+    if prob.tail_cols is not None:
+        out = out.at[prob.tail_cols].add(prob.tail_vals * d[prob.tail_rows])
     return out
 
 
@@ -170,12 +184,17 @@ def hessian_diagonal(prob: LRProblem, w: jax.Array) -> jax.Array:
     yz = prob.y * scores(prob, w)
     p = jax.nn.sigmoid(yz)
     q = prob.weight * p * (1.0 - p)
-    contrib = (prob.values * prob.values * q[:, None]).reshape(-1)
-    flat_idx = prob.indices.reshape(-1)
-    out = (jnp.full(prob.dim, 0.0, dtype=prob.values.dtype)
-           .at[flat_idx].add(contrib) + prob.prior_var_inv)
+    out = jnp.asarray(prob.prior_var_inv)
+    if prob.indices.shape[-1] > 0:
+        contrib = (prob.values * prob.values * q[:, None]).reshape(-1)
+        flat_idx = prob.indices.reshape(-1)
+        out = out + (jnp.zeros(prob.dim, dtype=prob.values.dtype)
+                     .at[flat_idx].add(contrib))
     if prob.head_x is not None:
         out = out.at[prob.head_ids].add((prob.head_x * prob.head_x).T @ q)
+    if prob.tail_cols is not None:
+        out = out.at[prob.tail_cols].add(
+            prob.tail_vals * prob.tail_vals * q[prob.tail_rows])
     return out
 
 
@@ -184,10 +203,13 @@ def densify(prob: LRProblem) -> jax.Array:
     dense-Newton path where n is small; X'WX then rides the MXU."""
     R, K = prob.indices.shape
     X = jnp.zeros((R, prob.dim), dtype=prob.values.dtype)
-    rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, K)).reshape(-1)
-    X = X.at[rows, prob.indices.reshape(-1)].add(prob.values.reshape(-1))
+    if K > 0:
+        rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, K)).reshape(-1)
+        X = X.at[rows, prob.indices.reshape(-1)].add(prob.values.reshape(-1))
     if prob.head_x is not None:
         X = X.at[:, prob.head_ids].add(prob.head_x)
+    if prob.tail_cols is not None:
+        X = X.at[prob.tail_rows, prob.tail_cols].add(prob.tail_vals)
     return X
 
 

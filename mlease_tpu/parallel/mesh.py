@@ -87,6 +87,9 @@ def pad_blocks(data: BlockedData, multiple: int) -> tuple[BlockedData, np.ndarra
         nblocks=B_pad, dim=data.dim,
         head=None if data.head is None else pad(data.head),
         head_ids=data.head_ids,
+        tail_rows=None if data.tail_rows is None else pad(data.tail_rows),
+        tail_cols=None if data.tail_cols is None else pad(data.tail_cols),
+        tail_vals=None if data.tail_vals is None else pad(data.tail_vals),
     ), valid
 
 

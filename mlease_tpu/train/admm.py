@@ -129,13 +129,15 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     def solve_one(indices, values, y, weight, offset, csc, head, prior_mean,
                   prior_var_inv, w0, eps):
         cols, rows, vals = csc if dual_layout else (None, None, None)
-        head_x, head_ids = head
+        head_x, head_ids, t_rows, t_cols, t_vals = head
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
                              prior_var_inv=prior_var_inv,
                              csc_cols=cols, csc_rows=rows, csc_vals=vals,
-                             head_x=head_x, head_ids=head_ids)
+                             head_x=head_x, head_ids=head_ids,
+                             tail_rows=t_rows, tail_cols=t_cols,
+                             tail_vals=t_vals)
         return solver(prob, w0, eps).w
 
     # inner vmap over blocks: data + prior_mean + eps batched, w0/prior_var
@@ -143,7 +145,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     # prior_mean/prior_var/w0 batched.
     csc_inner = (0, 0, 0) if dual_layout else None
     csc_outer = (None, None, None) if dual_layout else None
-    head_inner = (0, None) if use_head else None
+    head_inner = (0, None, 0, 0, 0) if use_head else None
     solve_blocks = jax.vmap(solve_one,
                             in_axes=(0, 0, 0, 0, 0, csc_inner, head_inner,
                                      0, None, None, 0))
@@ -255,11 +257,14 @@ class AdmmTrainer:
             cc, cr, cv = csc_arrays(data)
             csc = (jnp.asarray(cc), jnp.asarray(cr), jnp.asarray(cv, dtype))
 
-        # optional dense-head hybrid
-        head = (None, None)
+        # optional dense-head hybrid (dense head + flat-COO tail)
+        head = (None, None, None, None, None)
         if data.head is not None:
             head = (jnp.asarray(data.head, dtype),
-                    jnp.asarray(data.head_ids))
+                    jnp.asarray(data.head_ids),
+                    jnp.asarray(data.tail_rows),
+                    jnp.asarray(data.tail_cols),
+                    jnp.asarray(data.tail_vals, dtype))
 
         if mesh is not None:
             from mlease_tpu.parallel.mesh import shard_blocked_arrays, block_sharding
@@ -276,8 +281,12 @@ class AdmmTrainer:
                 csc = tuple(jax.device_put(a, sh) for a in csc)
             if head[0] is not None:
                 from mlease_tpu.parallel.mesh import replicated
-                head = (jax.device_put(head[0], block_sharding(mesh, 0)),
-                        jax.device_put(head[1], replicated(mesh)))
+                bsh = block_sharding(mesh, 0)
+                head = (jax.device_put(head[0], bsh),
+                        jax.device_put(head[1], replicated(mesh)),
+                        jax.device_put(head[2], bsh),
+                        jax.device_put(head[3], bsh),
+                        jax.device_put(head[4], bsh))
         self.indices, self.values, self.y = indices, values, y
         self.weight, self.offset, self.present = weight, offset, present
         self.eps_scale, self.block_valid = eps_scale, block_valid

@@ -19,10 +19,17 @@ def test_to_hybrid_preserves_nonzeros():
     data = pack_blocks([rows[:50], rows[50:]], vocab)
     hyb = to_hybrid(data, head_size=3)
     assert hyb.head.shape == (2, data.padded_rows, 3)
+    assert hyb.indices.shape[2] == 0  # ELL emptied; tail is flat COO
     # intercept column (in every row) must be in the head
     assert vocab.intercept_index in hyb.head_ids
-    # per-row reconstruction: head + tail == original multiset of (col, val)
+    # per-row reconstruction: head + COO tail == original multiset
     for b in range(2):
+        tails: dict[tuple[int, int], float] = {}
+        for t in range(hyb.tail_vals.shape[1]):
+            v = hyb.tail_vals[b, t]
+            if v != 0:
+                key = (int(hyb.tail_rows[b, t]), int(hyb.tail_cols[b, t]))
+                tails[key] = tails.get(key, 0.0) + v
         for r in range(data.nrows[b]):
             orig = {}
             for k in range(data.max_nnz):
@@ -35,11 +42,9 @@ def test_to_hybrid_preserves_nonzeros():
                 v = hyb.head[b, r, h]
                 if v != 0:
                     recon[col] = recon.get(col, 0.0) + v
-            for k in range(hyb.indices.shape[2]):
-                v = hyb.values[b, r, k]
-                if v != 0:
-                    recon[hyb.indices[b, r, k]] = recon.get(
-                        hyb.indices[b, r, k], 0.0) + v
+            for (rr, cc), v in tails.items():
+                if rr == r:
+                    recon[cc] = recon.get(cc, 0.0) + v
             assert set(orig) == set(recon)
             for c in orig:
                 assert orig[c] == pytest.approx(recon[c], abs=1e-6)
@@ -57,7 +62,10 @@ def test_hybrid_objective_matches_sparse():
         kw = {}
         if hybrid:
             kw = dict(head_x=jnp.asarray(d.head[0], jnp.float64),
-                      head_ids=jnp.asarray(d.head_ids))
+                      head_ids=jnp.asarray(d.head_ids),
+                      tail_rows=jnp.asarray(d.tail_rows[0]),
+                      tail_cols=jnp.asarray(d.tail_cols[0]),
+                      tail_vals=jnp.asarray(d.tail_vals[0], jnp.float64))
         return obj.LRProblem(
             indices=jnp.asarray(d.indices[0]),
             values=jnp.asarray(d.values[0], jnp.float64),
