@@ -1,0 +1,268 @@
+"""Multi-RHS TRON: the whole lambda-path solved in one pass over the data.
+
+The plain solver (mlease_tpu.ops.tron) vmaps over lambdas, which makes every
+lambda lane re-read the data per Hv product (batched (L,R,H)@(L,H,1) matvecs,
+L separate gathers). Since TPU sparse passes are bandwidth/gather-bound
+(DESIGN.md section 3), this module rewrites the same algorithm with the
+lambda path as a *trailing column axis*: coefficients are (n, L), the dense
+head contributes via one (R,H)@(H,L) MXU matmul, and every gather of the
+sparse tail fetches an L-wide row — one pass over the data serves all
+lambdas.
+
+Algorithmically identical to the reference TRON (Tron.java:30-179 with the
+warm-start modification) run independently per lambda lane: all trust-region
+scalars (f, delta, ||g||, accept/reject) are (L,) vectors with masked
+updates, exactly the lock-step execution jax's while-loop batching would
+produce — but with the data-efficient memory layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mlease_tpu.ops.tron import ETA0, ETA1, ETA2, SIGMA1, SIGMA2, SIGMA3
+
+
+class MultiProblem(NamedTuple):
+    """One data block, L simultaneous lambda-problems (trailing axis L)."""
+
+    indices: jax.Array        # (R, K) int32 (may be K=0 in hybrid mode)
+    values: jax.Array         # (R, K)
+    y: jax.Array              # (R,)
+    weight: jax.Array         # (R,)
+    offset: jax.Array         # (R,)
+    prior_mean: jax.Array     # (n, L)
+    prior_var_inv: jax.Array  # (n, L)
+    head_x: jax.Array | None = None     # (R, H)
+    head_ids: jax.Array | None = None   # (H,)
+    tail_rows: jax.Array | None = None  # (T,)
+    tail_cols: jax.Array | None = None  # (T,)
+    tail_vals: jax.Array | None = None  # (T,)
+
+    @property
+    def dim(self) -> int:
+        return self.prior_mean.shape[0]
+
+    @property
+    def n_rhs(self) -> int:
+        return self.prior_mean.shape[1]
+
+
+def xv(prob: MultiProblem, V: jax.Array) -> jax.Array:
+    """(n, L) -> (R, L) scores for all lambda lanes in one data pass."""
+    R = prob.y.shape[0]
+    L = V.shape[1]
+    if prob.indices.shape[-1] > 0:
+        out = jnp.sum(prob.values[..., None] * V[prob.indices], axis=1)
+    else:
+        out = jnp.zeros((R, L), dtype=V.dtype)
+    if prob.head_x is not None:
+        out = out + jnp.dot(prob.head_x, V[prob.head_ids],
+                            preferred_element_type=V.dtype)
+    if prob.tail_cols is not None:
+        contrib = prob.tail_vals[:, None] * V[prob.tail_cols]
+        out = out.at[prob.tail_rows].add(contrib)
+    return out
+
+
+def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
+    """(R, L) -> (n, L) accumulation for all lanes in one pass."""
+    n, L = prob.prior_mean.shape
+    out = jnp.zeros((n, L), dtype=Dm.dtype)
+    if prob.indices.shape[-1] > 0:
+        contrib = (prob.values[..., None] * Dm[:, None, :]).reshape(-1, L)
+        out = out.at[prob.indices.reshape(-1)].add(contrib)
+    if prob.head_x is not None:
+        out = out.at[prob.head_ids].add(
+            jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype))
+    if prob.tail_cols is not None:
+        out = out.at[prob.tail_cols].add(
+            prob.tail_vals[:, None] * Dm[prob.tail_rows])
+    return out
+
+
+def scores(prob: MultiProblem, W: jax.Array) -> jax.Array:
+    return xv(prob, W) + prob.offset[:, None]
+
+
+def fun(prob: MultiProblem, W: jax.Array) -> jax.Array:
+    """(L,) objective values."""
+    yz = prob.y[:, None] * scores(prob, W)
+    data_loss = jnp.sum(prob.weight[:, None] * jnp.logaddexp(0.0, -yz),
+                        axis=0)
+    dw = W - prob.prior_mean
+    return data_loss + 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0)
+
+
+def grad_and_curvature(prob: MultiProblem, W: jax.Array):
+    yz = prob.y[:, None] * scores(prob, W)
+    p = jax.nn.sigmoid(yz)
+    coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
+    G = xtv(prob, coeff) + (W - prob.prior_mean) * prob.prior_var_inv
+    Dm = prob.weight[:, None] * p * (1.0 - p)
+    return G, Dm
+
+
+def hv(prob: MultiProblem, Dm: jax.Array, S: jax.Array) -> jax.Array:
+    return xtv(prob, Dm * xv(prob, S)) + S * prob.prior_var_inv
+
+
+class MultiTronResult(NamedTuple):
+    w: jax.Array             # (n, L)
+    f: jax.Array             # (L,)
+    gnorm: jax.Array         # (L,)
+    iterations: jax.Array    # (L,)
+    converged: jax.Array     # (L,)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=0)        # (L,)
+
+
+def _norm(a):
+    return jnp.sqrt(jnp.sum(a * a, axis=0))
+
+
+def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int):
+    """Per-lane truncated CG with lock-step data passes (Tron.java:126-179)."""
+    cgtol = 0.1 * _norm(G)
+    zero = jnp.zeros_like(G)
+
+    def cond(state):
+        s, r, d, rTr, it, done = state
+        return jnp.logical_and(jnp.any(~done), it < max_cg_iter)
+
+    def body(state):
+        s, r, d, rTr, it, done = state
+        small = _norm(r) <= cgtol
+
+        Hd = hv(prob, Dm, d)
+        dHd = _dot(d, Hd)
+        alpha = jnp.where(dHd > 0, rTr / jnp.where(dHd > 0, dHd, 1.0), 0.0)
+        s_try = s + alpha * d
+        boundary = _norm(s_try) > delta
+
+        std = _dot(s, d)
+        sts = _dot(s, s)
+        dtd = _dot(d, d)
+        dsq = delta * delta
+        rad = jnp.sqrt(jnp.maximum(std * std + dtd * (dsq - sts), 0.0))
+        denom_pos = std + rad
+        alpha_b = jnp.where(
+            std >= 0,
+            jnp.where(denom_pos != 0,
+                      (dsq - sts) / jnp.where(denom_pos != 0, denom_pos, 1.0),
+                      0.0),
+            jnp.where(dtd != 0, (rad - std) / jnp.where(dtd != 0, dtd, 1.0),
+                      0.0))
+
+        s_bnd = s + alpha_b * d
+        r_bnd = r - alpha_b * Hd
+        r_int = r - alpha * Hd
+        rTr_new = _dot(r_int, r_int)
+        beta = jnp.where(rTr > 0, rTr_new / jnp.where(rTr > 0, rTr, 1.0), 0.0)
+        d_int = r_int + beta * d
+
+        step = jnp.logical_and(~small, ~done)
+        take_bnd = jnp.logical_and(step, boundary)
+        take_int = jnp.logical_and(step, ~boundary)
+
+        s_out = jnp.where(take_bnd, s_bnd, jnp.where(take_int, s_try, s))
+        r_out = jnp.where(take_bnd, r_bnd, jnp.where(take_int, r_int, r))
+        d_out = jnp.where(take_int, d_int, d)
+        rTr_out = jnp.where(take_int, rTr_new, rTr)
+        done_out = jnp.logical_or(done, jnp.logical_or(small, take_bnd))
+        return (s_out, r_out, d_out, rTr_out, it + 1, done_out)
+
+    init = (zero, -G, -G, _dot(G, G), jnp.asarray(0, jnp.int32),
+            jnp.zeros(G.shape[1], bool))
+    s, r, _d, _rTr, _it, _done = jax.lax.while_loop(cond, body, init)
+    return s, r
+
+
+@partial(jax.jit, static_argnames=("max_iter", "max_cg_iter"))
+def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
+               max_iter: int = 1000,
+               max_cg_iter: int = 500) -> MultiTronResult:
+    """Warm-started TRON over L simultaneous lambda-problems (Tron.java:30-124
+    per lane; stall thresholds as in mlease_tpu.ops.tron)."""
+    dtype = W0.dtype
+    L = W0.shape[1]
+    eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
+
+    G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0))
+    gnorm1 = _norm(G0)
+
+    F = fun(prob, W0)
+    G, Dm = grad_and_curvature(prob, W0)
+    gnorm = _norm(G)
+    delta = gnorm
+    stall_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
+
+    def cond(state):
+        W, F, G, Dm, delta, gnorm, it, active = state
+        return jnp.any(jnp.logical_and(active, it <= max_iter))
+
+    def body(state):
+        W, F, G, Dm, delta, gnorm, it, active = state
+
+        S, Rres = _trcg(prob, Dm, G, delta, max_cg_iter)
+        W_new = W + S
+        gs = _dot(G, S)
+        prered = -0.5 * (gs - _dot(S, Rres))
+        F_new = fun(prob, W_new)
+        actred = F - F_new
+        snorm = _norm(S)
+
+        delta = jnp.where(it == 1, jnp.minimum(delta, snorm), delta)
+        denom = F_new - F - gs
+        alpha = jnp.where(denom <= 0, SIGMA3,
+                          jnp.maximum(SIGMA1,
+                                      -0.5 * (gs / jnp.where(denom <= 0, 1.0,
+                                                             denom))))
+        asn = alpha * snorm
+        delta_new = jnp.where(
+            actred < ETA0 * prered,
+            jnp.minimum(jnp.maximum(alpha, SIGMA1) * snorm, SIGMA2 * delta),
+            jnp.where(
+                actred < ETA1 * prered,
+                jnp.maximum(SIGMA1 * delta, jnp.minimum(asn, SIGMA2 * delta)),
+                jnp.where(
+                    actred < ETA2 * prered,
+                    jnp.maximum(SIGMA1 * delta,
+                                jnp.minimum(asn, SIGMA3 * delta)),
+                    jnp.maximum(delta, jnp.minimum(asn, SIGMA3 * delta)))))
+        delta_new = jnp.where(active, delta_new, delta)
+
+        accept = jnp.logical_and(active, actred > ETA0 * prered)
+        W_out = jnp.where(accept[None, :], W_new, W)
+        F_out = jnp.where(accept, F_new, F)
+        G_new, Dm_new = grad_and_curvature(prob, W_out)
+        G_out = jnp.where(accept[None, :], G_new, G)
+        Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
+        gnorm_out = jnp.where(accept, _norm(G_new), gnorm)
+        it_out = it + jnp.where(accept, 1, 0)
+
+        done = jnp.logical_and(accept, gnorm_out <= eps * gnorm1)
+        done = jnp.logical_or(done, F_out < -1.0e32)
+        done = jnp.logical_or(done, jnp.logical_and(jnp.abs(actred) <= 0,
+                                                    prered <= 0))
+        done = jnp.logical_or(
+            done,
+            jnp.logical_and(jnp.abs(actred) <= stall_rtol * jnp.abs(F_out),
+                            jnp.abs(prered) <= stall_rtol * jnp.abs(F_out)))
+        done = jnp.logical_and(done, active)  # frozen lanes keep their state
+        return (W_out, F_out, G_out, Dm_out, delta_new, gnorm_out, it_out,
+                jnp.logical_and(active, ~done))
+
+    active0 = gnorm > eps * gnorm1
+    init = (W0, F, G, Dm, delta, gnorm,
+            jnp.ones(L, jnp.int32), active0)
+    W, F, G, Dm, delta, gnorm, it, _active = jax.lax.while_loop(
+        cond, body, init)
+    return MultiTronResult(w=W, f=F, gnorm=gnorm, iterations=it - 1,
+                           converged=gnorm <= eps * gnorm1)

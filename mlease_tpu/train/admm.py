@@ -72,6 +72,8 @@ class AdmmConfig:
     dual_layout: bool = False     # CSC gather-based X'v (2x nnz storage)
     head_size: int = 0            # dense-head hybrid: top-H hot columns ride
                                   # the MXU (see DESIGN.md section 3); 0 = off
+    multi_rhs: bool = True        # solve the whole lambda path per data pass
+                                  # (ops/tron_multi.py); False = vmapped lanes
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -100,6 +102,7 @@ class AdmmResult:
     u: np.ndarray                                  # (L, B, n) final duals
     converged: bool
     wall_time: float = 0.0
+    iter_times: list[float] = field(default_factory=list)  # seconds/iteration
 
 
 def _lambda_key(lam: float) -> str:
@@ -113,7 +116,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     max_newton_iter: int, max_cg_iter: int,
                     relaxation: float = 1.0,
                     dual_layout: bool = False,
-                    use_head: bool = False) -> Callable:
+                    use_head: bool = False,
+                    multi_rhs: bool = False) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
@@ -153,6 +157,28 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                           in_axes=(None, None, None, None, None, csc_outer,
                                    None, 0, 0, 0, None))
 
+    if multi_rhs:
+        if dual_layout:
+            raise ValueError("multi_rhs and dual_layout are exclusive")
+        from mlease_tpu.ops.tron_multi import MultiProblem, tron_multi
+
+        def solve_block_multi(indices, values, y, weight, offset, head,
+                              prior_mean_T, prior_var_inv_T, W0, eps):
+            head_x, head_ids, t_rows, t_cols, t_vals = head
+            prob = MultiProblem(indices=indices, values=values, y=y,
+                                weight=weight, offset=offset,
+                                prior_mean=prior_mean_T,
+                                prior_var_inv=prior_var_inv_T,
+                                head_x=head_x, head_ids=head_ids,
+                                tail_rows=t_rows, tail_cols=t_cols,
+                                tail_vals=t_vals)
+            return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
+                              max_cg_iter=max_cg_iter).w
+
+        solve_multi = jax.vmap(solve_block_multi,
+                               in_axes=(0, 0, 0, 0, 0, head_inner,
+                                        0, None, None, 0))
+
     def step(indices, values, y, weight, offset, csc, head, present,
              block_valid, z, u, lam_vec, rho_eff, eps):
         dtype = z.dtype
@@ -160,8 +186,16 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
         prior_var_inv = (rho_eff[:, None]
                          * jnp.ones((1, n), dtype))          # priorVar = 1/rho
-        x = solve_grid(indices, values, y, weight, offset, csc, head,
-                       prior_mean, prior_var_inv, z, eps)     # (L,B,n)
+        if multi_rhs:
+            # lambda path as trailing column axis: one data pass serves all
+            # lambdas (see ops/tron_multi.py)
+            x_T = solve_multi(indices, values, y, weight, offset, head,
+                              prior_mean.transpose(1, 2, 0),   # (B,n,L)
+                              prior_var_inv.T, z.T, eps)
+            x = x_T.transpose(2, 0, 1)                         # (L,B,n)
+        else:
+            x = solve_grid(indices, values, y, weight, offset, csc, head,
+                           prior_mean, prior_var_inv, z, eps)  # (L,B,n)
         # absent-feature exactness: features with no data in block b solve to
         # the prior mean z - u_b (LibLinear.java:373-397)
         x = jnp.where(present[None, :, :], x, prior_mean)
@@ -311,6 +345,7 @@ class AdmmTrainer:
             relaxation=config.relaxation,
             dual_layout=config.dual_layout,
             use_head=data.head is not None,
+            multi_rhs=config.multi_rhs and not config.dual_layout,
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)
@@ -367,6 +402,7 @@ class AdmmTrainer:
         best_lambda: str | None = None
         loglik_history: list[dict] = []
         diff_history: list[dict[str, float]] = []
+        iter_times: list[float] = []
         converged = False
         t_start = time.monotonic()
 
@@ -378,6 +414,7 @@ class AdmmTrainer:
 
         iteration = start_iteration - 1
         for iteration in range(start_iteration, cfg.num_iters + 1):
+            t_iter = time.monotonic()
             inner_eps = admm_math.inner_eps_schedule(
                 inner_eps, iteration, mindiff,
                 aggressive=cfg.aggressive_liblinear_epsilon_decay)
@@ -395,13 +432,15 @@ class AdmmTrainer:
                                     self.head, self.present,
                                     self.block_valid, z, u,
                                     self.lam_vec, rho_eff, eps)
-            diffs_np = np.asarray(diffs, np.float64)
+            diffs_np = np.asarray(diffs, np.float64)  # also a host sync point
+            iter_times.append(time.monotonic() - t_iter)
             mindiff = float(diffs_np.min())
             maxdiff = float(diffs_np.max())
             diff_history.append({_lambda_key(l): float(d)
                                  for l, d in zip(self.lambdas, diffs_np)})
-            logger.info("iter %d: inner_eps=%g maxdiff=%g mindiff=%g",
-                        iteration, inner_eps, maxdiff, mindiff)
+            logger.info("iter %d: inner_eps=%g maxdiff=%g mindiff=%g (%.2fs)",
+                        iteration, inner_eps, maxdiff, mindiff,
+                        iter_times[-1])
 
             if self.test_arrays is not None and cfg.test_loglik_per_iter:
                 lls = self.sample_loglik(z)
@@ -434,5 +473,6 @@ class AdmmTrainer:
             models=models, best_model=best_model, best_lambda=best_lambda,
             best_loglik=best_loglik, iterations=iteration,
             sample_loglik_history=loglik_history, diff_history=diff_history,
+            iter_times=iter_times,
             z=z_np, u=np.asarray(u, np.float64)[:, :self.nblocks],
             converged=converged, wall_time=time.monotonic() - t_start)

@@ -205,7 +205,9 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
 
     if "z0" not in run_kwargs:
         run_kwargs["z0"] = z0
-    result = trainer.run(callback=on_iteration, **run_kwargs)
+    from mlease_tpu.utils.profiling import trace
+    with trace(config.get_string("profile.dir", "")):
+        result = trainer.run(callback=on_iteration, **run_kwargs)
 
     # ---- outputs ------------------------------------------------------
     write_model_file(os.path.join(out_base, "final-model",

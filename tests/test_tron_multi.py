@@ -1,0 +1,117 @@
+"""Multi-RHS TRON: must match the vmapped single-lambda solver lane-by-lane."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlease_tpu.core import build_vocab, pack_blocks, pack_rows
+from mlease_tpu.core.dataset import to_hybrid
+from mlease_tpu.ops import objective as obj
+from mlease_tpu.ops.tron import tron
+from mlease_tpu.ops.tron_multi import MultiProblem, tron_multi
+from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+
+from test_admm import synth_rows
+
+
+def make_multi(rows, vocab, pvis, pms, hybrid=False):
+    data = pack_blocks([rows], vocab)
+    if hybrid:
+        data = to_hybrid(data, head_size=4)
+    kw = {}
+    if hybrid:
+        kw = dict(head_x=jnp.asarray(data.head[0], jnp.float64),
+                  head_ids=jnp.asarray(data.head_ids),
+                  tail_rows=jnp.asarray(data.tail_rows[0]),
+                  tail_cols=jnp.asarray(data.tail_cols[0]),
+                  tail_vals=jnp.asarray(data.tail_vals[0], jnp.float64))
+    mp = MultiProblem(
+        indices=jnp.asarray(data.indices[0]),
+        values=jnp.asarray(data.values[0], jnp.float64),
+        y=jnp.asarray(data.y[0], jnp.float64),
+        weight=jnp.asarray(data.weight[0], jnp.float64),
+        offset=jnp.asarray(data.offset[0], jnp.float64),
+        prior_mean=jnp.asarray(pms.T),            # (n, L)
+        prior_var_inv=jnp.asarray(pvis.T), **kw)
+    return data, mp
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_multi_matches_single_lanes(hybrid):
+    rng = np.random.default_rng(0)
+    rows = synth_rows(rng, 150)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    L = 3
+    pvis = np.stack([np.full(n, lam) for lam in (0.5, 2.0, 8.0)])
+    pms = np.stack([np.full(n, m) for m in (0.0, 0.05, -0.05)])
+    data, mp = make_multi(rows, vocab, pvis, pms, hybrid=hybrid)
+    W0 = jnp.zeros((n, L), jnp.float64)
+    eps = 1e-5
+    res_m = tron_multi(mp, W0, eps)
+
+    blk = pack_rows(rows, vocab)
+    for i in range(L):
+        prob = obj.make_problem(blk, pms[i], pvis[i], dtype=jnp.float64)
+        res_s = tron(prob, jnp.zeros(n, jnp.float64), eps)
+        np.testing.assert_allclose(np.asarray(res_m.w[:, i]),
+                                   np.asarray(res_s.w), rtol=1e-9, atol=1e-10)
+        assert int(res_m.iterations[i]) == int(res_s.iterations)
+    assert bool(res_m.converged.all())
+
+
+def test_multi_objective_consistency():
+    rng = np.random.default_rng(1)
+    rows = synth_rows(rng, 80)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, 1.0), np.full(n, 4.0)])
+    pms = np.zeros((2, n))
+    _data, mp = make_multi(rows, vocab, pvis, pms)
+    from mlease_tpu.ops import tron_multi as tm
+
+    W = jnp.asarray(rng.normal(size=(n, 2)) * 0.2)
+    blk = pack_rows(rows, vocab)
+    for i in range(2):
+        prob = obj.make_problem(blk, pms[i], pvis[i], dtype=jnp.float64)
+        assert float(tm.fun(mp, W)[i]) == pytest.approx(
+            float(obj.fun(prob, W[:, i])), rel=1e-12)
+        g_m, d_m = tm.grad_and_curvature(mp, W)
+        g_s, d_s = obj.grad_and_curvature(prob, W[:, i])
+        np.testing.assert_allclose(np.asarray(g_m[:, i]), np.asarray(g_s),
+                                   rtol=1e-11, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(d_m[:, i]), np.asarray(d_s),
+                                   rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("head_size", [0, 4])
+def test_admm_multi_rhs_matches_vmapped(head_size):
+    rng = np.random.default_rng(2)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+                head_size=head_size)
+    res_vmap = AdmmTrainer(data, vocab,
+                           AdmmConfig(multi_rhs=False, **base)).run()
+    res_multi = AdmmTrainer(data, vocab,
+                            AdmmConfig(multi_rhs=True, **base)).run()
+    np.testing.assert_allclose(res_multi.z, res_vmap.z, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(res_multi.u, res_vmap.u, rtol=1e-7, atol=1e-9)
+
+
+def test_admm_multi_rhs_on_mesh():
+    from mlease_tpu.parallel import cpu_devices, make_mesh
+
+    rng = np.random.default_rng(3)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::4] for i in range(4)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+                head_size=4, multi_rhs=True)
+    res_single = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
+    mesh = make_mesh(cpu_devices())
+    res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()
+    np.testing.assert_allclose(res_mesh.z, res_single.z, rtol=1e-12,
+                               atol=1e-12)
