@@ -73,6 +73,16 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _bucket_dim(x: int, floor: int = 8) -> int:
+    """Next power of two (>= floor): shape-buckets items so thousands of
+    distinct per-item sizes share a handful of compiled solver
+    specializations (at most ~2x padding waste)."""
+    n = floor
+    while n < x:
+        n <<= 1
+    return n
+
+
 def _pack_local(rows, lambda_map):
     """One item's rows -> local coords. Returns (names, indices, values, y,
     weight, offset, map_mask, map_vals) with intercept at local index 0."""
@@ -106,9 +116,9 @@ def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
         if not rows:
             continue
         names, index, parsed = _pack_local(rows, lambda_map)
-        R = _round_up(len(rows), 8)
-        K = _round_up(max(len(a) for a in parsed), 8)
-        F = _round_up(len(names), 8)
+        R = _bucket_dim(len(rows))
+        K = _bucket_dim(max(len(a) for a in parsed))
+        F = _bucket_dim(len(names))
         items.append((key, rows, names, parsed, R, K, F))
 
     buckets: dict[tuple[int, int, int], list] = {}
