@@ -70,6 +70,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the heavy while-loop program compiles in
+    # 2-5 min on the tunneled chip; cache hits make reruns near-instant
+    try:
+        cache_dir = os.environ.get("MLEASE_JAX_CACHE",
+                                   "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from mlease_tpu.core.vocab import FeatureVocab
     from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
 

@@ -108,26 +108,60 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     map_key = config.get_string("map.key", "")
 
     # ---- Prepare (RegressionPrepare) --------------------------------
+    # Native C++ columnar ingest when possible (single file, random
+    # partitioning); identical semantics to the record-at-a-time path
+    # (tests/test_native_ingest.py). Falls back to pure Python otherwise.
     input_paths = config.get_string("input.paths")
-    records = avro.read_records(input_paths)
-    logger.info("prepare: %d input records", len(records))
-    prepared = list(prepare_rows(
-        records, nblocks, map_key=map_key,
-        num_click_replicates=cfg.num_click_replicates,
-        ignore_value=ignore_value,
-        seed=config.get_int("prepare.seed", 0)))
-    avro.write_records(
-        os.path.join(out_base, "tmp-data", "part-m-00000.avro"),
-        schemas.REGRESSION_PREPARE_OUTPUT,
-        (row_to_prepare_record(k, r) for k, r in prepared))
-
-    blocks: list[list[dict]] = [[] for _ in range(nblocks)]
-    for key, row in prepared:
-        blocks[int(key)].append(row)
-
-    vocab = build_vocab((r for _k, r in prepared), has_intercept=True)
+    seed = config.get_int("prepare.seed", 0)
+    data = None
+    input_files = avro.enumerate_avro_files(input_paths)
+    use_native = (config.get_boolean("native.ingest", True)
+                  and not map_key and len(input_files) == 1
+                  and cfg.initialize_boost_rate <= 0)  # warm start needs rows
+    if use_native:
+        from mlease_tpu.io import fast_decode
+        if fast_decode.is_available():
+            try:
+                from mlease_tpu.core.ingest import (
+                    load_blocked_data, prepare_columnar, vocab_from_names)
+                decoded = fast_decode.decode_file(input_files[0],
+                                                  ignore_value=ignore_value)
+                vocab = vocab_from_names(decoded.vocab_names)
+                row_ids, partitions, weights = prepare_columnar(
+                    decoded, nblocks,
+                    num_click_replicates=cfg.num_click_replicates, seed=seed)
+                from mlease_tpu.core.ingest import pack_blocks_columnar
+                data = pack_blocks_columnar(
+                    decoded, row_ids, partitions, weights, vocab,
+                    nblocks=nblocks)
+                if config.get_boolean("write.tmp.data", True):
+                    _write_tmp_from_columnar(
+                        os.path.join(out_base, "tmp-data",
+                                     "part-m-00000.avro"),
+                        decoded, row_ids, partitions, weights, vocab)
+                logger.info("native ingest: %d rows, %d features",
+                            int(data.nrows.sum()), data.dim)
+            except Exception as e:  # fall back to the reference path
+                logger.warning("native ingest failed (%s); python path", e)
+                data = None
+    if data is None:
+        records = avro.read_records(input_paths)
+        logger.info("prepare: %d input records", len(records))
+        prepared = list(prepare_rows(
+            records, nblocks, map_key=map_key,
+            num_click_replicates=cfg.num_click_replicates,
+            ignore_value=ignore_value, seed=seed))
+        if config.get_boolean("write.tmp.data", True):
+            avro.write_records(
+                os.path.join(out_base, "tmp-data", "part-m-00000.avro"),
+                schemas.REGRESSION_PREPARE_OUTPUT,
+                (row_to_prepare_record(k, r) for k, r in prepared))
+        blocks: list[list[dict]] = [[] for _ in range(nblocks)]
+        for key, row in prepared:
+            blocks[int(key)].append(row)
+        vocab = build_vocab((r for _k, r in prepared), has_intercept=True)
+        data = pack_blocks(blocks, vocab)
     vocab.save(os.path.join(out_base, "model-vocab.json"))
-    data = pack_blocks(blocks, vocab)
     logger.info("packed %d blocks, %d rows padded to (%d, %d), %d features",
                 data.nblocks, int(data.nrows.sum()), data.padded_rows,
                 data.max_nnz, data.dim)
@@ -249,3 +283,27 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
 def _fmt(lam: float) -> str:
     from mlease_tpu.train.admm import _lambda_key
     return _lambda_key(lam)
+
+
+def _write_tmp_from_columnar(path, decoded, row_ids, partitions, weights,
+                             vocab):
+    """RegressionPrepareOutput records from the native columnar decode."""
+    from mlease_tpu.io.records import split_feature_key
+
+    def gen():
+        for i in range(len(row_ids)):
+            src = int(row_ids[i])
+            s, e = decoded.row_start[src], decoded.row_start[src + 1]
+            feats = []
+            for j in range(s, e):
+                name, term = split_feature_key(
+                    vocab.name(int(decoded.feat_id[j])))
+                feats.append({"name": name, "term": term,
+                              "value": float(decoded.feat_val[j])})
+            yield {"key": str(int(partitions[i])),
+                   "response": int(decoded.response[src]),
+                   "features": feats,
+                   "weight": float(weights[i]),
+                   "offset": float(decoded.offset[src])}
+
+    avro.write_records(path, schemas.REGRESSION_PREPARE_OUTPUT, gen())
