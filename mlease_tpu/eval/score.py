@@ -19,7 +19,7 @@ reducer's Pair<Float,..> sort, RegressionTest.java:165-175).
 from __future__ import annotations
 
 import os
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 

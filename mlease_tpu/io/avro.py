@@ -21,7 +21,6 @@ reference implementation and the only writer.
 
 from __future__ import annotations
 
-import io as _io
 import json
 import os
 import struct

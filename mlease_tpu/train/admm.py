@@ -29,7 +29,6 @@ and the stopping rule — a handful of host scalars per iteration.
 from __future__ import annotations
 
 import logging
-import math
 import time
 from dataclasses import dataclass, field
 from functools import partial

@@ -27,7 +27,7 @@ Reference semantics kept:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Mapping, Sequence
 

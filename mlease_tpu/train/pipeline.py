@@ -20,14 +20,13 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-from typing import Any, Mapping
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
 
 from mlease_tpu.core.dataset import pack_blocks
-from mlease_tpu.core.linear_model import (LinearModel, mean_model,
-                                          write_model_file)
+from mlease_tpu.core.linear_model import write_model_file
 from mlease_tpu.core.prepare import prepare_rows
 from mlease_tpu.core.vocab import build_vocab
 from mlease_tpu.eval.loglik import run_test_loglik
@@ -123,14 +122,13 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         if fast_decode.is_available():
             try:
                 from mlease_tpu.core.ingest import (
-                    load_blocked_data, prepare_columnar, vocab_from_names)
+                    pack_blocks_columnar, prepare_columnar, vocab_from_names)
                 decoded = fast_decode.decode_file(input_files[0],
                                                   ignore_value=ignore_value)
                 vocab = vocab_from_names(decoded.vocab_names)
                 row_ids, partitions, weights = prepare_columnar(
                     decoded, nblocks,
                     num_click_replicates=cfg.num_click_replicates, seed=seed)
-                from mlease_tpu.core.ingest import pack_blocks_columnar
                 data = pack_blocks_columnar(
                     decoded, row_ids, partitions, weights, vocab,
                     nblocks=nblocks)

@@ -9,8 +9,6 @@ clone+put for sub-job rewiring (Regression.java:50-77).
 
 from __future__ import annotations
 
-from typing import Any, Mapping
-
 
 class ConfigError(KeyError):
     pass
