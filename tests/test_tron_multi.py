@@ -69,7 +69,7 @@ def test_multi_objective_consistency():
     pvis = np.stack([np.full(n, 1.0), np.full(n, 4.0)])
     pms = np.zeros((2, n))
     _data, mp = make_multi(rows, vocab, pvis, pms)
-    from mlease_tpu.ops import tron_multi as tm
+    import mlease_tpu.ops.tron_multi as tm
 
     W = jnp.asarray(rng.normal(size=(n, 2)) * 0.2)
     blk = pack_rows(rows, vocab)
