@@ -66,6 +66,51 @@ def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
         nrows=np.full(B, R, np.int32), nblocks=B, dim=n), w_true
 
 
+def bench_item_models():
+    """BENCH_MODE=item: thousands of independent per-key LRs as bucketed
+    batched solves (the BASELINE.json "NaiveTrain mode: 10K independent
+    per-key small LR models" configuration)."""
+    import jax
+
+    from mlease_tpu.train.item import ItemConfig, train_item_models
+
+    n_items = int(os.environ.get("BENCH_ITEMS", 10_000))
+    rows_per_item = int(os.environ.get("BENCH_ITEM_ROWS", 48))
+    n_feat = int(os.environ.get("BENCH_ITEM_FEATURES", 12))
+    rng = np.random.default_rng(0)
+
+    keyed = {}
+    for i in range(n_items):
+        w = rng.normal(size=n_feat) * 0.5
+        rows = []
+        for _ in range(rows_per_item):
+            nnz = int(rng.integers(2, 7))
+            js = rng.choice(n_feat, size=nnz, replace=False)
+            vals = rng.normal(size=nnz)
+            p = 1.0 / (1.0 + np.exp(-(w[js] * vals).sum() + 0.4))
+            rows.append({"response": int(rng.random() < p),
+                         "features": [(f"f{j}", float(v))
+                                      for j, v in zip(js, vals)],
+                         "weight": 1.0, "offset": 0.0})
+        keyed[f"item{i}"] = rows
+
+    cfg = ItemConfig(intercept_lambdas=[1.0], default_lambdas=[1.0, 10.0],
+                     compute_var=True)
+    t0 = time.monotonic()
+    result = train_item_models(keyed, cfg)
+    elapsed = time.monotonic() - t0
+    n_models = len(result.models)
+    print(json.dumps({
+        "metric": "item_models_per_s",
+        "value": round(n_models / elapsed, 1),
+        "unit": f"models/s ({n_items} items x 2-point grid, "
+                f"{rows_per_item} rows/item, posterior variance, "
+                f"{jax.devices()[0].platform})",
+        "vs_baseline": round((n_models / elapsed) / (1000 / 30.0), 1),
+        "detail": {"total_s": round(elapsed, 2), "models": n_models},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -79,6 +124,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+    if os.environ.get("BENCH_MODE", "admm") == "item":
+        return bench_item_models()
 
     from mlease_tpu.core.vocab import FeatureVocab
     from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer

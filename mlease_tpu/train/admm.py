@@ -441,13 +441,16 @@ class AdmmTrainer:
                         iteration, inner_eps, maxdiff, mindiff,
                         iter_times[-1])
 
+            iter_logliks = None
             if self.test_arrays is not None and cfg.test_loglik_per_iter:
                 lls = self.sample_loglik(z)
+                iter_logliks = []
                 for li, (lam, ll) in enumerate(zip(self.lambdas, lls)):
                     ll = float(ll)
-                    loglik_history.append({"lambda": _lambda_key(lam),
-                                           "iter": iteration,
-                                           "testLoglik": ll})
+                    entry = {"lambda": _lambda_key(lam), "iter": iteration,
+                             "testLoglik": ll}
+                    loglik_history.append(entry)
+                    iter_logliks.append(entry)
                     # best-model tracking (RegressionAdmmTrain.java:812-845)
                     if ll > best_loglik:
                         best_loglik = ll
@@ -457,7 +460,7 @@ class AdmmTrainer:
 
             if callback is not None:
                 callback(iteration=iteration, z=z, u=u, diffs=diffs_np,
-                         inner_eps=inner_eps)
+                         inner_eps=inner_eps, logliks=iter_logliks)
 
             if admm_math.should_stop(maxdiff, inner_eps, cfg.epsilon,
                                      cfg.inner_eps_floor):

@@ -228,13 +228,20 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     keep_all = ("remove.tmp.dir" in config
                 and not config.get_boolean("remove.tmp.dir", False))
 
-    def on_iteration(iteration, z, u, diffs, inner_eps):
+    def on_iteration(iteration, z, u, diffs, inner_eps, logliks=None):
         ckpt.save_checkpoint(ckpt_dir, iteration, np.asarray(z),
                              np.asarray(u), inner_eps=inner_eps,
                              mindiff=float(diffs.min()),
                              best_loglik=best_state["loglik"])
         if not keep_all:
             ckpt.prune_checkpoints(ckpt_dir, keep=2)
+        # crash-consistent per-iteration loglik files
+        # (RegressionAdmmTrain.java writes sample-test-loglik per iteration)
+        if logliks:
+            avro.write_records(
+                os.path.join(out_base, "sample-test-loglik",
+                             f"iteration-{iteration}.avro"),
+                schemas.SAMPLE_TEST_LOGLIK, logliks)
 
     if "z0" not in run_kwargs:
         run_kwargs["z0"] = z0
