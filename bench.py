@@ -204,6 +204,8 @@ def main():
             "compile_s": round(compile_time, 2),
             "cold_iter_s": round(cold_iter, 3),
             "steady_iter_s": round(elapsed / iters, 4),
+            "head_size": cfg.head_size,
+            "multi_rhs": cfg.multi_rhs,
             "maxdiff_last": float(np.asarray(d).max()),
             "device": str(jax.devices()[0]),
         },

@@ -103,20 +103,31 @@ def pack_blocks_columnar(decoded, row_ids: np.ndarray, partitions: np.ndarray,
     resp = decoded.response
     off = decoded.offset
 
-    for i in range(n_out):
-        src = row_ids[i]
-        b = partitions[i]
-        r = slot[i]
-        s, e = row_start[src], row_start[src + 1]
-        k = e - s
-        indices[b, r, :k] = feat_id[s:e]
-        values[b, r, :k] = feat_val[s:e]
-        if has_icpt:
-            indices[b, r, k] = vocab.intercept_index
-            values[b, r, k] = bias
-        y[b, r] = 1.0 if resp[src] == 1 else -1.0
-        weight_arr[b, r] = weights[i]
-        offset_arr[b, r] = off[src]
+    # fully vectorized ragged-CSR -> padded-ELL expansion: gather each output
+    # row's k-th nonzero via clipped flat offsets, mask the padding lanes
+    starts = row_start[row_ids]                                  # (n_out,)
+    nnz = nnz_per_row                                            # (n_out,)
+    k_grid = np.arange(K - extra, dtype=np.int64)[None, :]       # (1, K-extra)
+    lane_valid = k_grid < nnz[:, None]                           # (n_out, K-extra)
+    flat = np.minimum(starts[:, None] + k_grid,
+                      len(feat_id) - 1 if len(feat_id) else 0)
+    if len(feat_id):
+        row_idx = np.where(lane_valid, feat_id[flat], 0).astype(np.int32)
+        row_val = np.where(lane_valid, feat_val[flat], 0.0).astype(dtype)
+    else:
+        row_idx = np.zeros((n_out, K - extra), np.int32)
+        row_val = np.zeros((n_out, K - extra), dtype)
+
+    b_ix = partitions
+    r_ix = slot
+    indices[b_ix, r_ix, :K - extra] = row_idx
+    values[b_ix, r_ix, :K - extra] = row_val
+    if has_icpt:
+        indices[b_ix, r_ix, nnz] = vocab.intercept_index
+        values[b_ix, r_ix, nnz] = bias
+    y[b_ix, r_ix] = np.where(resp[row_ids] == 1, 1.0, -1.0).astype(dtype)
+    weight_arr[b_ix, r_ix] = weights.astype(dtype)
+    offset_arr[b_ix, r_ix] = off[row_ids]
 
     for b in range(nblocks):
         real = weight_arr[b] > 0
