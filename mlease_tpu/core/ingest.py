@@ -143,23 +143,58 @@ def pack_blocks_columnar(decoded, row_ids: np.ndarray, partitions: np.ndarray,
                        dim=n_dim)
 
 
+def merge_decoded(parts) -> "object":
+    """Concatenate per-file DecodedRows into one, remapping each file's
+    interned feature ids onto a merged first-occurrence vocabulary."""
+    from mlease_tpu.io.fast_decode import DecodedRows
+
+    if len(parts) == 1:
+        return parts[0]
+    merged_names: list[str] = []
+    merged_index: dict[str, int] = {}
+    remapped_ids = []
+    for d in parts:
+        remap = np.empty(len(d.vocab_names), np.int32)
+        for local_id, name in enumerate(d.vocab_names):
+            gid = merged_index.get(name)
+            if gid is None:
+                gid = len(merged_names)
+                merged_index[name] = gid
+                merged_names.append(name)
+            remap[local_id] = gid
+        remapped_ids.append(remap[d.feat_id] if len(d.feat_id) else d.feat_id)
+
+    offsets = np.cumsum([0] + [len(d.feat_id) for d in parts])
+    row_start = np.concatenate(
+        [d.row_start[:-1] + off for d, off in zip(parts, offsets)]
+        + [np.array([offsets[-1]], np.int64)])
+    keys = None
+    if parts[0].keys is not None:
+        keys = [k for d in parts for k in d.keys]
+    return DecodedRows(
+        response=np.concatenate([d.response for d in parts]),
+        weight=np.concatenate([d.weight for d in parts]),
+        offset=np.concatenate([d.offset for d in parts]),
+        row_start=row_start,
+        feat_id=np.concatenate(remapped_ids),
+        feat_val=np.concatenate([d.feat_val for d in parts]),
+        vocab_names=merged_names, keys=keys)
+
+
 def load_blocked_data(paths: Sequence[str], nblocks: int, *,
                       num_click_replicates: int = 1, ignore_value: bool = False,
                       seed: int = 0, bias: float = 1.0, dtype=np.float32):
     """Full native ingest of one or more Avro files -> (BlockedData, vocab).
 
-    Currently supports a single file per call for exact vocab ordering;
-    multiple files are decoded sequentially re-interning into one vocabulary
-    on the Python side only when needed.
+    Multiple files decode independently (parallelizable across hosts) and
+    merge into one global vocabulary in first-occurrence order.
     """
     from mlease_tpu.io import fast_decode
 
     if isinstance(paths, str):
         paths = [paths]
-    if len(paths) != 1:
-        raise NotImplementedError("multi-file native ingest lands with the "
-                                  "streaming sharder")
-    decoded = fast_decode.decode_file(paths[0], ignore_value=ignore_value)
+    decoded = merge_decoded([
+        fast_decode.decode_file(p, ignore_value=ignore_value) for p in paths])
     vocab = vocab_from_names(decoded.vocab_names)
     row_ids, partitions, weights = prepare_columnar(
         decoded, nblocks, num_click_replicates=num_click_replicates, seed=seed)

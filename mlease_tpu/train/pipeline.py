@@ -115,16 +115,18 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     data = None
     input_files = avro.enumerate_avro_files(input_paths)
     use_native = (config.get_boolean("native.ingest", True)
-                  and not map_key and len(input_files) == 1
+                  and not map_key and len(input_files) >= 1
                   and cfg.initialize_boost_rate <= 0)  # warm start needs rows
     if use_native:
         from mlease_tpu.io import fast_decode
         if fast_decode.is_available():
             try:
                 from mlease_tpu.core.ingest import (
-                    pack_blocks_columnar, prepare_columnar, vocab_from_names)
-                decoded = fast_decode.decode_file(input_files[0],
-                                                  ignore_value=ignore_value)
+                    merge_decoded, pack_blocks_columnar, prepare_columnar,
+                    vocab_from_names)
+                decoded = merge_decoded([
+                    fast_decode.decode_file(p, ignore_value=ignore_value)
+                    for p in input_files])
                 vocab = vocab_from_names(decoded.vocab_names)
                 row_ids, partitions, weights = prepare_columnar(
                     decoded, nblocks,

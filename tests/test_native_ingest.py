@@ -107,3 +107,25 @@ def test_columnar_click_replication(tmp_path):
     # replicas land on consecutive partitions
     pos_rows = row_ids[pos_mask].reshape(-1, 2) if False else None
     assert parts.min() >= 0 and parts.max() < 4
+
+
+def test_multi_file_ingest(tmp_path, sample_data_path):
+    """Splitting a dataset across files must yield the same packed data."""
+    import numpy as np
+    from mlease_tpu.core.ingest import load_blocked_data
+
+    records = avro.read_records(sample_data_path)
+    with avro.AvroFileReader(sample_data_path) as r:
+        schema = r.schema
+    p1 = str(tmp_path / "a.avro")
+    p2 = str(tmp_path / "b.avro")
+    avro.write_records(p1, schema, records[:600])
+    avro.write_records(p2, schema, records[600:])
+
+    data_one, vocab_one = load_blocked_data(sample_data_path, 4, seed=5)
+    data_two, vocab_two = load_blocked_data([p1, p2], 4, seed=5)
+    assert vocab_two.names == vocab_one.names
+    np.testing.assert_array_equal(data_two.nrows, data_one.nrows)
+    np.testing.assert_array_equal(data_two.indices, data_one.indices)
+    np.testing.assert_allclose(data_two.values, data_one.values, atol=1e-7)
+    np.testing.assert_array_equal(data_two.y, data_one.y)
