@@ -73,6 +73,9 @@ class AdmmConfig:
                                   # the MXU (see DESIGN.md section 3); 0 = off
     multi_rhs: bool = True        # solve the whole lambda path per data pass
                                   # (ops/tron_multi.py); False = vmapped lanes
+    pcg: bool = False             # Jacobi-preconditioned CG in the multi-RHS
+                                  # solver (not in the reference; same
+                                  # converged solution, fewer data passes)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -116,7 +119,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     relaxation: float = 1.0,
                     dual_layout: bool = False,
                     use_head: bool = False,
-                    multi_rhs: bool = False) -> Callable:
+                    multi_rhs: bool = False,
+                    pcg: bool = False) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
@@ -172,7 +176,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                                 tail_rows=t_rows, tail_cols=t_cols,
                                 tail_vals=t_vals)
             return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
-                              max_cg_iter=max_cg_iter).w
+                              max_cg_iter=max_cg_iter, precondition=pcg).w
 
         solve_multi = jax.vmap(solve_block_multi,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
@@ -345,6 +349,7 @@ class AdmmTrainer:
             dual_layout=config.dual_layout,
             use_head=data.head is not None,
             multi_rhs=config.multi_rhs and not config.dual_layout,
+            pcg=config.pcg,
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)

@@ -115,3 +115,34 @@ def test_admm_multi_rhs_on_mesh():
     res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()
     np.testing.assert_allclose(res_mesh.z, res_single.z, rtol=1e-12,
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_pcg_reaches_same_solution(hybrid):
+    rng = np.random.default_rng(4)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, lam) for lam in (0.5, 4.0)])
+    pms = np.zeros((2, n))
+    _data, mp = make_multi(rows, vocab, pvis, pms, hybrid=hybrid)
+    W0 = jnp.zeros((n, 2), jnp.float64)
+    res_plain = tron_multi(mp, W0, 1e-6)
+    res_pcg = tron_multi(mp, W0, 1e-6, precondition=True)
+    assert bool(res_pcg.converged.all())
+    np.testing.assert_allclose(np.asarray(res_pcg.w), np.asarray(res_plain.w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_admm_pcg_matches_plain():
+    rng = np.random.default_rng(5)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                head_size=4, liblinear_epsilon=1e-4)
+    res_plain = AdmmTrainer(data, vocab, AdmmConfig(pcg=False, **base)).run()
+    res_pcg = AdmmTrainer(data, vocab, AdmmConfig(pcg=True, **base)).run()
+    # inner trajectories differ slightly (different CG paths at finite
+    # tolerance) but consensus agrees to solver tolerance
+    np.testing.assert_allclose(res_pcg.z, res_plain.z, rtol=1e-4, atol=2e-5)
