@@ -166,7 +166,8 @@ def main():
         return trainer.step(trainer.indices, trainer.values, trainer.y,
                             trainer.weight, trainer.offset, trainer.csc,
                             trainer.head, trainer.present,
-                            trainer.block_valid, z, u, lam_vec, rho_eff, eps)
+                            trainer.block_valid, z, u, lam_vec, rho_eff,
+                            rho_eff, eps)
 
     # NOTE: timings force a host fetch of the per-iteration diffs —
     # block_until_ready alone does not reliably wait on the tunneled axon

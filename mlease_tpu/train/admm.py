@@ -183,7 +183,11 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                                         0, None, None, 0))
 
     def step(indices, values, y, weight, offset, csc, head, present,
-             block_valid, z, u, lam_vec, rho_eff, eps):
+             block_valid, z, u, lam_vec, rho_eff, rho_base, eps):
+        # rho_eff (boost/decay-adapted) shapes only the x-subproblem prior
+        # variance (the reducer's rho*adaptRate, RegressionAdmmTrain.java:648-658);
+        # the consensus z-update always uses the base rho
+        # (RegressionAdmmTrain.java:368-380 reads the unadapted lambdaRho map).
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
@@ -225,7 +229,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                 v_l, lam_l, rho_l, nblocks, intercept_index,
                 penalize_intercept, reference_compat=reference_l1_compat)
 
-        z_new = jax.vmap(zup)(v, lam_vec, rho_eff)
+        z_new = jax.vmap(zup)(v, lam_vec, rho_base)
         u_new = admm_math.u_update(u, x, z_new[:, None, :]) * bv
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
         return z_new, u_new, diffs
@@ -429,13 +433,14 @@ class AdmmTrainer:
                                            if z0 is not None else 0.0),
                     rho_adapt_coefficient=cfg.rho_adapt_coefficient)
                 for r in self.rhos], dtype)
+            rho_base = jnp.asarray(self.rhos, dtype)
             eps = inner_eps * self.eps_scale
 
             z, u, diffs = self.step(self.indices, self.values, self.y,
                                     self.weight, self.offset, self.csc,
                                     self.head, self.present,
                                     self.block_valid, z, u,
-                                    self.lam_vec, rho_eff, eps)
+                                    self.lam_vec, rho_eff, rho_base, eps)
             diffs_np = np.asarray(diffs, np.float64)  # also a host sync point
             iter_times.append(time.monotonic() - t_iter)
             mindiff = float(diffs_np.min())

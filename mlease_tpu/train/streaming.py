@@ -147,13 +147,16 @@ class StreamingAdmmTrainer:
             for i, lam in enumerate(self.lambdas):
                 v_i = jnp.asarray(v[i])
                 lam_i = jnp.asarray(self.lam_vec[i])
+                # consensus shrinkage uses the BASE rho; adaptation only
+                # shapes the x-subproblem (RegressionAdmmTrain.java:368-380
+                # vs :648-658)
                 if cfg.regularizer == 2:
                     z_i = admm_math.z_update_l2(
-                        v_i, lam_i, float(rho_eff[i]), N,
+                        v_i, lam_i, self.rhos[i], N,
                         self.vocab.intercept_index, cfg.penalize_intercept)
                 else:
                     z_i = admm_math.z_update_l1(
-                        v_i, lam_i, float(rho_eff[i]), N,
+                        v_i, lam_i, self.rhos[i], N,
                         self.vocab.intercept_index, cfg.penalize_intercept,
                         reference_compat=cfg.reference_l1_compat)
                 z_new[i] = np.asarray(z_i)

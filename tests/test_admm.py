@@ -219,3 +219,27 @@ def test_admm_empty_block_is_benign():
     cfg = AdmmConfig(lambdas=[1.0], num_iters=10, dtype=jnp.float64)
     result = AdmmTrainer(data, vocab, cfg).run()
     assert np.all(np.isfinite(result.z))
+
+
+def test_rho_adaptation_only_affects_x_subproblem():
+    """The z-update shrinkage uses the BASE rho even when rho adaptation /
+    boost changes the x-solve prior (RegressionAdmmTrain.java:368-380 reads
+    the unadapted lambdaRho map; :648-658 adapts only in the reducer)."""
+    rows = [{"response": 1, "features": [("a", 1.0)], "weight": 0.0,
+             "offset": 0.0}] * 8  # zero weight: x == prior mean exactly
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows], vocab)
+    # absent from data entirely -> present mask pins x = z - u
+    data = data._replace(present=np.zeros_like(data.present))
+    lam, rho, boost = 2.0, 1.0, 5.0
+    cfg = AdmmConfig(lambdas=[lam], rhos=[rho], num_iters=1, regularizer=2,
+                     initialize_boost_rate=boost, dtype=jnp.float64)
+    z0 = np.full(vocab.size, 3.0)
+    trainer = AdmmTrainer(data, vocab, cfg)
+    result = trainer.run(z0=z0)
+    # x = z0 (u=0), so v = z0 and z1 = kappa_base * z0 with
+    # kappa = N*rho/(lam + N*rho) using the UNboosted rho
+    kappa = 1 * rho / (lam + 1 * rho)
+    expected = np.full(vocab.size, 3.0 * kappa)
+    expected[vocab.intercept_index] = 3.0  # unpenalized intercept
+    np.testing.assert_allclose(result.z[0], expected, rtol=1e-10)
