@@ -151,7 +151,7 @@ def main():
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
                      dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
                      head_size=int(os.environ.get("BENCH_HEAD", "512")),
-                     pcg=bool(int(os.environ.get("BENCH_PCG", "0"))),
+                     pcg=bool(int(os.environ.get("BENCH_PCG", "1"))),
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
 

@@ -73,9 +73,11 @@ class AdmmConfig:
                                   # the MXU (see DESIGN.md section 3); 0 = off
     multi_rhs: bool = True        # solve the whole lambda path per data pass
                                   # (ops/tron_multi.py); False = vmapped lanes
-    pcg: bool = False             # Jacobi-preconditioned CG in the multi-RHS
-                                  # solver (not in the reference; same
-                                  # converged solution, fewer data passes)
+    pcg: bool = True              # Jacobi-preconditioned CG in the multi-RHS
+                                  # solver (12x fewer data passes on the
+                                  # benchmark; not in the reference — same
+                                  # converged solution, pcg=False for the
+                                  # reference-exact CG trajectory)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500

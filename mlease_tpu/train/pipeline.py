@@ -87,6 +87,7 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         head_size=config.get_int("head.size", 0),
         dual_layout=config.get_boolean("dual.layout", False),
         multi_rhs=config.get_boolean("multi.rhs", True),
+        pcg=config.get_boolean("pcg", True),
         dtype=dtype if dtype is not None else {
             "float32": jnp.float32, "float64": jnp.float64,
             "bfloat16": jnp.bfloat16,
