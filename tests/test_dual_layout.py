@@ -61,7 +61,8 @@ def test_admm_dual_layout_matches_default():
     rows = synth_rows(rng, 200)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::3] for i in range(3)], vocab)
-    base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64)
+    base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+                multi_rhs=False)  # dual layout rides the vmapped solver
     res_scatter = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
     res_dual = AdmmTrainer(data, vocab,
                            AdmmConfig(dual_layout=True, **base)).run()

@@ -17,7 +17,8 @@ def test_streaming_matches_in_memory():
     vocab = build_vocab(rows)
     nblocks = 4
     blocks = [rows[i::nblocks] for i in range(nblocks)]
-    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64)
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                     multi_rhs=False)  # streaming uses the vmapped solver
 
     data_full = pack_blocks(blocks, vocab)
     res_mem = AdmmTrainer(data_full, vocab, cfg).run()
@@ -41,7 +42,7 @@ def test_streaming_l1():
     vocab = build_vocab(rows)
     blocks = [rows[i::2] for i in range(2)]
     cfg = AdmmConfig(lambdas=[3.0], num_iters=8, regularizer=1,
-                     dtype=jnp.float64)
+                     dtype=jnp.float64, multi_rhs=False)
     res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run()
     res_stream = StreamingAdmmTrainer(
         [pack_blocks([b], vocab) for b in blocks], vocab, cfg).run()
