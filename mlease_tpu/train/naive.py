@@ -50,6 +50,9 @@ class NaiveConfig:
     data_size_threshold: int = 0
     compute_model_mean: bool = False
     positive_weight: float = 1.0
+    multi_rhs: bool = True        # lambda path as trailing axis (one data
+                                  # pass per key serves all lambdas)
+    pcg: bool = True              # Jacobi-preconditioned CG (multi-RHS only)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -124,21 +127,40 @@ def train_naive(keyed_rows: Mapping[str, Sequence[Mapping]],
         indices, values, y = sh["indices"], sh["values"], sh["y"]
         weight, offset, eps = sh["weight"], sh["offset"], sh["eps"]
 
-    solver = partial(tron, max_iter=cfg.max_newton_iter,
-                     max_cg_iter=cfg.max_cg_iter)
+    if cfg.multi_rhs:
+        from mlease_tpu.ops.tron_multi import MultiProblem, tron_multi
 
-    def solve_one(indices, values, y, weight, offset, pvi_l, eps):
-        prob = obj.LRProblem(indices=indices, values=values, y=y,
-                             weight=weight, offset=offset,
-                             prior_mean=prior_mean, prior_var_inv=pvi_l)
-        return solver(prob, jnp.zeros(n, dtype), eps).w
+        pvi_T = prior_var_inv.T                           # (n, L)
+        pm_T = jnp.broadcast_to(prior_mean[:, None], pvi_T.shape)
+        L = len(lambdas)
 
-    solve_keys = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, None, 0))
-    solve_grid = jax.jit(jax.vmap(solve_keys,
-                                  in_axes=(None, None, None, None, None, 0, None)))
+        def solve_key(indices, values, y, weight, offset, eps):
+            prob = MultiProblem(indices=indices, values=values, y=y,
+                                weight=weight, offset=offset,
+                                prior_mean=pm_T, prior_var_inv=pvi_T)
+            return tron_multi(prob, jnp.zeros((n, L), dtype), eps,
+                              max_iter=cfg.max_newton_iter,
+                              max_cg_iter=cfg.max_cg_iter,
+                              precondition=cfg.pcg).w
 
-    x = solve_grid(indices, values, y, weight, offset, prior_var_inv, eps)
-    x = np.asarray(x, np.float64)[:, :data.nblocks]  # (L, K, n), drop mesh pads
+        solve = jax.jit(jax.vmap(solve_key))
+        x_T = solve(indices, values, y, weight, offset, eps)  # (K, n, L)
+        x = np.asarray(x_T, np.float64).transpose(2, 0, 1)[:, :data.nblocks]
+    else:
+        solver = partial(tron, max_iter=cfg.max_newton_iter,
+                         max_cg_iter=cfg.max_cg_iter)
+
+        def solve_one(indices, values, y, weight, offset, pvi_l, eps):
+            prob = obj.LRProblem(indices=indices, values=values, y=y,
+                                 weight=weight, offset=offset,
+                                 prior_mean=prior_mean, prior_var_inv=pvi_l)
+            return solver(prob, jnp.zeros(n, dtype), eps).w
+
+        solve_keys = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0, None, 0))
+        solve_grid = jax.jit(jax.vmap(
+            solve_keys, in_axes=(None, None, None, None, None, 0, None)))
+        x = solve_grid(indices, values, y, weight, offset, prior_var_inv, eps)
+        x = np.asarray(x, np.float64)[:, :data.nblocks]   # (L, K, n)
 
     models: dict[str, LinearModel] = {}
     for i, lam in enumerate(lambdas):

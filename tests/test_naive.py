@@ -22,7 +22,7 @@ def single_fit_reference(rows, lam, vocab, prior_mean=0.0,
                             dtype=jnp.float64)
     scale = float(obj.class_balance_eps_scale(
         blk.y[None], np.array([blk.nrows]))[0])
-    res = tron(prob, jnp.zeros(vocab.size, jnp.float64), eps=0.01 * scale)
+    res = tron(prob, jnp.zeros(vocab.size, jnp.float64), eps=1e-5 * scale)
     return np.asarray(res.w)
 
 
@@ -31,7 +31,8 @@ def test_naive_matches_independent_fits():
     keyed = {"0": synth_rows(rng, 120), "1": synth_rows(rng, 150)}
     all_rows = keyed["0"] + keyed["1"]
     vocab = build_vocab(all_rows)
-    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64)
+    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64,
+                      liblinear_epsilon=1e-5)
     result = train_naive(keyed, cfg, vocab=vocab)
     assert set(result.models) == {"1.0#0", "1.0#1", "4.0#0", "4.0#1"}
     for lam, lam_key in ((1.0, "1.0"), (4.0, "4.0")):
