@@ -143,6 +143,23 @@ def pack_blocks_columnar(decoded, row_ids: np.ndarray, partitions: np.ndarray,
                        dim=n_dim)
 
 
+def decode_files_parallel(paths, *, ignore_value: bool = False,
+                          map_key: str = "", max_workers: int = 8):
+    """Decode several Avro files concurrently. The C++ decoder runs with the
+    GIL released (ctypes), so plain threads give real parallelism."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mlease_tpu.io import fast_decode
+
+    if len(paths) == 1:
+        return [fast_decode.decode_file(paths[0], ignore_value=ignore_value,
+                                        map_key=map_key)]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        return list(ex.map(
+            lambda p: fast_decode.decode_file(p, ignore_value=ignore_value,
+                                              map_key=map_key), paths))
+
+
 def merge_decoded(parts) -> "object":
     """Concatenate per-file DecodedRows into one, remapping each file's
     interned feature ids onto a merged first-occurrence vocabulary."""
@@ -193,8 +210,8 @@ def load_blocked_data(paths: Sequence[str], nblocks: int, *,
 
     if isinstance(paths, str):
         paths = [paths]
-    decoded = merge_decoded([
-        fast_decode.decode_file(p, ignore_value=ignore_value) for p in paths])
+    decoded = merge_decoded(decode_files_parallel(
+        paths, ignore_value=ignore_value))
     vocab = vocab_from_names(decoded.vocab_names)
     row_ids, partitions, weights = prepare_columnar(
         decoded, nblocks, num_click_replicates=num_click_replicates, seed=seed)

@@ -123,11 +123,10 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         if fast_decode.is_available():
             try:
                 from mlease_tpu.core.ingest import (
-                    merge_decoded, pack_blocks_columnar, prepare_columnar,
-                    vocab_from_names)
-                decoded = merge_decoded([
-                    fast_decode.decode_file(p, ignore_value=ignore_value)
-                    for p in input_files])
+                    decode_files_parallel, merge_decoded,
+                    pack_blocks_columnar, prepare_columnar, vocab_from_names)
+                decoded = merge_decoded(decode_files_parallel(
+                    input_files, ignore_value=ignore_value))
                 vocab = vocab_from_names(decoded.vocab_names)
                 row_ids, partitions, weights = prepare_columnar(
                     decoded, nblocks,
