@@ -78,6 +78,9 @@ class AdmmConfig:
                                   # benchmark; not in the reference — same
                                   # converged solution, pcg=False for the
                                   # reference-exact CG trajectory)
+    head_dtype: Any = None        # storage dtype for the dense head (e.g.
+                                  # jnp.bfloat16 halves its HBM traffic and
+                                  # memory; accumulation stays f32)
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -303,7 +306,9 @@ class AdmmTrainer:
         # optional dense-head hybrid (dense head + flat-COO tail)
         head = (None, None, None, None, None)
         if data.head is not None:
-            head = (jnp.asarray(data.head, dtype),
+            head_dtype = (config.head_dtype if config.head_dtype is not None
+                          else dtype)
+            head = (jnp.asarray(data.head, head_dtype),
                     jnp.asarray(data.head_ids),
                     jnp.asarray(data.tail_rows),
                     jnp.asarray(data.tail_cols),

@@ -123,3 +123,16 @@ def test_admm_hybrid_on_mesh():
     mesh = make_mesh(cpu_devices())
     res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()
     np.testing.assert_allclose(res_mesh.z, res_single.z, rtol=1e-12, atol=1e-12)
+
+
+def test_bf16_head_close_to_f32():
+    rng = np.random.default_rng(9)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::2] for i in range(2)], vocab)
+    base = dict(lambdas=[1.0], num_iters=5, dtype=jnp.float32, head_size=4)
+    res_f32 = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
+    res_bf16 = AdmmTrainer(data, vocab,
+                           AdmmConfig(head_dtype=jnp.bfloat16, **base)).run()
+    assert np.all(np.isfinite(res_bf16.z))
+    np.testing.assert_allclose(res_bf16.z, res_f32.z, atol=2e-2)
