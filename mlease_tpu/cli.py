@@ -26,9 +26,6 @@ import sys
 
 import numpy as np
 
-logger = logging.getLogger("mlease_tpu")
-
-
 def _load_config(path: str):
     from mlease_tpu.utils.config import JobConfig
 
