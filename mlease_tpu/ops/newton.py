@@ -63,10 +63,12 @@ def newton_cholesky(prob: obj.LRProblem, w0: jax.Array, eps: jax.Array,
 
     def body(state):
         w, f, g, gnorm, it, active = state
-        yz = prob.y * (X @ w + prob.offset)
+        yz = prob.y * (jnp.dot(X, w, precision=jax.lax.Precision.HIGHEST)
+                       + prob.offset)
         p = jax.nn.sigmoid(yz)
         D = prob.weight * p * (1.0 - p)
-        H = (X.T * D) @ X + jnp.diag(prob.prior_var_inv)
+        H = (jnp.dot(X.T * D, X, precision=jax.lax.Precision.HIGHEST)
+             + jnp.diag(prob.prior_var_inv))
         L = jnp.linalg.cholesky(H.astype(jnp.float32)).astype(dtype)
         s = jax.scipy.linalg.cho_solve((L, True), -g)
         gs = jnp.sum(g * s)

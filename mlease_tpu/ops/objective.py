@@ -104,7 +104,8 @@ def xv(prob: LRProblem, v: jax.Array) -> jax.Array:
     else:
         out = jnp.zeros(R, dtype=prob.values.dtype)
     if prob.head_x is not None:
-        out = out + prob.head_x @ v[prob.head_ids]
+        out = out + jnp.dot(prob.head_x, v[prob.head_ids],
+                            precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals * v[prob.tail_cols]
         out = out.at[prob.tail_rows].add(contrib)
@@ -130,7 +131,8 @@ def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
         out = jnp.zeros(prob.dim, dtype=prob.values.dtype)
     if prob.head_x is not None:
         # (H,) head accumulation via one MXU matvec + an H-sized scatter
-        out = out.at[prob.head_ids].add(prob.head_x.T @ d)
+        out = out.at[prob.head_ids].add(
+            jnp.dot(prob.head_x.T, d, precision=jax.lax.Precision.HIGHEST))
     if prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(prob.tail_vals * d[prob.tail_rows])
     return out
@@ -191,7 +193,9 @@ def hessian_diagonal(prob: LRProblem, w: jax.Array) -> jax.Array:
         out = out + (jnp.zeros(prob.dim, dtype=prob.values.dtype)
                      .at[flat_idx].add(contrib))
     if prob.head_x is not None:
-        out = out.at[prob.head_ids].add((prob.head_x * prob.head_x).T @ q)
+        out = out.at[prob.head_ids].add(
+            jnp.dot((prob.head_x * prob.head_x).T, q,
+                    precision=jax.lax.Precision.HIGHEST))
     if prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals * prob.tail_vals * q[prob.tail_rows])
@@ -223,7 +227,8 @@ def dense_hessian(prob: LRProblem, w: jax.Array) -> jax.Array:
     p = jax.nn.sigmoid(yz)
     D = prob.weight * p * (1.0 - p)
     H = jnp.einsum("rm,r,rn->mn", X, D, X,
-                   preferred_element_type=X.dtype)
+                   preferred_element_type=X.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     return H + jnp.diag(prob.prior_var_inv)
 
 

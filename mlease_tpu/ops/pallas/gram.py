@@ -34,9 +34,12 @@ def _gram_kernel(x_ref, d_ref, out_ref, acc_ref):
 
     x = x_ref[:]                                   # (TILE_R, F)
     xd = x * d_ref[:]                              # weight rows by D
+    # HIGHEST precision: TPU f32 matmul runs as multi-pass bf16 on the MXU;
+    # the default single pass loses ~3 decimal digits on the Gram entries
     acc_ref[:] += jax.lax.dot_general(
         x, xd, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (F, F) via MXU
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # (F, F) via MXU
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():

@@ -61,8 +61,11 @@ def xv(prob: MultiProblem, V: jax.Array) -> jax.Array:
     else:
         out = jnp.zeros((R, L), dtype=V.dtype)
     if prob.head_x is not None:
+        # HIGHEST: TPU f32 matmul defaults to one bf16 pass (~3 digits);
+        # 3-pass costs only MXU cycles while the op stays bandwidth-bound
         out = out + jnp.dot(prob.head_x, V[prob.head_ids],
-                            preferred_element_type=V.dtype)
+                            preferred_element_type=V.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals[:, None] * V[prob.tail_cols]
         out = out.at[prob.tail_rows].add(contrib)
@@ -78,7 +81,8 @@ def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
         out = out.at[prob.indices.reshape(-1)].add(contrib)
     if prob.head_x is not None:
         out = out.at[prob.head_ids].add(
-            jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype))
+            jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype,
+                    precision=jax.lax.Precision.HIGHEST))
     if prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * Dm[prob.tail_rows])
@@ -124,7 +128,8 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
     if prob.head_x is not None:
         out = out.at[prob.head_ids].add(
             jnp.dot((prob.head_x * prob.head_x).T, Dm,
-                    preferred_element_type=Dm.dtype))
+                    preferred_element_type=Dm.dtype,
+                    precision=jax.lax.Precision.HIGHEST))
     if prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * prob.tail_vals[:, None]
