@@ -114,11 +114,25 @@ def cmd_item(args):
     from mlease_tpu.train.pipeline import read_lambda_map
 
     config = _load_config(args.config)
-    records = avro.read_records(config.get_string("input.paths"))
     item_key = config.get_string("item.key")
-    keyed = prepare_to_keyed(records, map_key=item_key,
-                             ignore_value=config.get_boolean("binary.feature",
-                                                             False))
+    ignore_value = config.get_boolean("binary.feature", False)
+    keyed = None
+    if config.get_boolean("native.ingest", True):
+        from mlease_tpu.io import fast_decode
+        if fast_decode.is_available():
+            try:
+                from mlease_tpu.core.ingest import load_keyed_rows
+                keyed = load_keyed_rows(
+                    avro.enumerate_avro_files(config.get_string("input.paths")),
+                    item_key, ignore_value=ignore_value)
+                if set(keyed) == {""}:
+                    keyed = None  # non-string key column: python path
+            except Exception:
+                keyed = None
+    if keyed is None:
+        records = avro.read_records(config.get_string("input.paths"))
+        keyed = prepare_to_keyed(records, map_key=item_key,
+                                 ignore_value=ignore_value)
     pm_map = None
     if config.get_string("intercept.prior.mean.map", ""):
         pm_map = {}

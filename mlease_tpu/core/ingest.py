@@ -198,6 +198,38 @@ def merge_decoded(parts) -> "object":
         vocab_names=merged_names, keys=keys)
 
 
+def keyed_rows_from_decoded(decoded) -> dict[str, list[dict]]:
+    """Columnar decode (with map_key) -> {key -> canonical rows} for the
+    per-key trainers. Avoids the pure-Python Avro decode, which dominates
+    per-item ingest time; the canonical-row dicts themselves are cheap."""
+    if decoded.keys is None:
+        raise ValueError("decode was not run with a map_key")
+    out: dict[str, list[dict]] = {}
+    names = decoded.vocab_names
+    rs = decoded.row_start
+    for i, key in enumerate(decoded.keys):
+        s, e = rs[i], rs[i + 1]
+        feats = [(names[decoded.feat_id[j]], float(decoded.feat_val[j]))
+                 for j in range(s, e)]
+        out.setdefault(key, []).append({
+            "response": int(decoded.response[i]),
+            "features": feats,
+            "weight": float(decoded.weight[i]),
+            "offset": float(decoded.offset[i]),
+        })
+    return out
+
+
+def load_keyed_rows(paths: Sequence[str] | str, item_key: str, *,
+                    ignore_value: bool = False) -> dict[str, list[dict]]:
+    """Native per-key ingest: decode + group by the item/map key column."""
+    if isinstance(paths, str):
+        paths = [paths]
+    decoded = merge_decoded(decode_files_parallel(
+        paths, ignore_value=ignore_value, map_key=item_key))
+    return keyed_rows_from_decoded(decoded)
+
+
 def load_blocked_data(paths: Sequence[str], nblocks: int, *,
                       num_click_replicates: int = 1, ignore_value: bool = False,
                       seed: int = 0, bias: float = 1.0, dtype=np.float32):
