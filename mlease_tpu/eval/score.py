@@ -31,13 +31,13 @@ from mlease_tpu.io.records import normalize_row
 
 
 def remove_union(schema: Any) -> Any:
-    """Flatten [null, X] unions to X recursively (Util.removeUnion,
-    Util.java:339-375)."""
+    """Replace every union by its first non-null branch, recursively
+    (Util.removeUnion, Util.java:339-375)."""
     if isinstance(schema, list):
-        non_null = [s for s in schema if s != "null"]
-        if len(non_null) == 1:
-            return remove_union(non_null[0])
-        return [remove_union(s) for s in schema]
+        for s in schema:
+            if s != "null":
+                return remove_union(s)
+        return "null"
     if isinstance(schema, dict):
         t = schema.get("type")
         out = dict(schema)
