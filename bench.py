@@ -111,6 +111,72 @@ def bench_item_models():
     }))
 
 
+def bench_convergence():
+    """BENCH_MODE=convergence: wall-clock to target held-out loglik — the
+    BASELINE.json headline metric ('wall-clock to target test loglik')."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlease_tpu.core.vocab import FeatureVocab
+    from mlease_tpu.core.dataset import pack_rows
+    from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+
+    n_features = int(os.environ.get("BENCH_FEATURES", 50_000))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", 4))
+    rows = int(os.environ.get("BENCH_ROWS", 16_384))
+    nnz = int(os.environ.get("BENCH_NNZ", 15))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    data, w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
+    test, _ = synth_blocked_data(n_features, 1, 8192, nnz, seed=1)
+
+    vocab = FeatureVocab.__new__(FeatureVocab)
+    vocab._index = {}
+    vocab._names = [f"f{i}" for i in range(n_features)] + ["(INTERCEPT)"]
+    vocab._frozen = True
+    vocab.has_intercept = True
+
+    cfg = AdmmConfig(lambdas=[1.0, 10.0, 100.0], num_iters=iters,
+                     regularizer=2, test_loglik_per_iter=True,
+                     head_size=int(os.environ.get("BENCH_HEAD", "512")),
+                     dtype=jnp.float32)
+    trainer = AdmmTrainer(data, vocab, cfg)
+    # wire the pre-packed synthetic test block directly
+    trainer.test_arrays = (
+        jnp.asarray(test.indices[0]), jnp.asarray(test.values[0], jnp.float32),
+        jnp.asarray(test.y[0], jnp.float32),
+        jnp.asarray(test.weight[0], jnp.float32),
+        jnp.asarray(test.offset[0], jnp.float32))
+    from mlease_tpu.train.admm import build_loglik_fn
+    trainer.loglik_fn = build_loglik_fn()
+
+    t0 = time.monotonic()
+    result = trainer.run()
+    wall = time.monotonic() - t0
+
+    best = result.best_loglik
+    target = best - 1e-3
+    hit_iter = None
+    for entry in result.sample_loglik_history:
+        if entry["testLoglik"] >= target:
+            hit_iter = entry["iter"]
+            break
+    time_to_target = (sum(result.iter_times[:hit_iter])
+                      if hit_iter else wall)
+    print(json.dumps({
+        "metric": "wall_clock_to_target_loglik_s",
+        "value": round(time_to_target, 2),
+        "unit": (f"s to within 1e-3 of best held-out loglik {best:.4f} "
+                 f"(3-lambda path, {nblocks * rows} rows x {n_features} "
+                 f"features, {jax.devices()[0].platform})"),
+        "vs_baseline": round((30.0 * (hit_iter or result.iterations))
+                             / max(time_to_target, 1e-9), 1),
+        "detail": {"hit_iter": hit_iter, "iterations": result.iterations,
+                   "best_loglik": best, "total_wall_s": round(wall, 2),
+                   "iter_times_s": [round(t, 3) for t in result.iter_times]},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -125,8 +191,11 @@ def main():
     except Exception:
         pass
 
-    if os.environ.get("BENCH_MODE", "admm") == "item":
+    mode = os.environ.get("BENCH_MODE", "admm")
+    if mode == "item":
         return bench_item_models()
+    if mode == "convergence":
+        return bench_convergence()
 
     from mlease_tpu.core.vocab import FeatureVocab
     from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
