@@ -38,30 +38,66 @@ from mlease_tpu.train.admm import AdmmConfig, AdmmResult, _lambda_key
 logger = logging.getLogger(__name__)
 
 
-def build_group_solver(max_newton_iter: int, max_cg_iter: int):
+def build_group_solver(max_newton_iter: int, max_cg_iter: int,
+                       use_head: bool = False, multi_rhs: bool = False,
+                       pcg: bool = False):
     """Jitted (lambda x block) x-update for one data group (no consensus)."""
     solver = partial(tron, max_iter=max_newton_iter, max_cg_iter=max_cg_iter)
 
-    def solve_one(indices, values, y, weight, offset, prior_mean,
+    def solve_one(indices, values, y, weight, offset, head, prior_mean,
                   prior_var_inv, w0, eps):
+        head_x, head_ids, t_rows, t_cols, t_vals = head
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
-                             prior_var_inv=prior_var_inv)
+                             prior_var_inv=prior_var_inv,
+                             head_x=head_x, head_ids=head_ids,
+                             tail_rows=t_rows, tail_cols=t_cols,
+                             tail_vals=t_vals)
         return solver(prob, w0, eps).w
 
+    head_inner = (0, None, 0, 0, 0) if use_head else None
     solve_blocks = jax.vmap(solve_one,
-                            in_axes=(0, 0, 0, 0, 0, 0, None, None, 0))
+                            in_axes=(0, 0, 0, 0, 0, head_inner, 0, None,
+                                     None, 0))
     solve_grid = jax.vmap(solve_blocks,
-                          in_axes=(None, None, None, None, None, 0, 0, 0, None))
+                          in_axes=(None, None, None, None, None, None,
+                                   0, 0, 0, None))
 
-    def run(indices, values, y, weight, offset, present, z, u, rho_eff, eps):
+    if multi_rhs:
+        from mlease_tpu.ops.tron_multi import MultiProblem, tron_multi
+
+        def solve_block_multi(indices, values, y, weight, offset, head,
+                              prior_mean_T, prior_var_inv_T, W0, eps):
+            head_x, head_ids, t_rows, t_cols, t_vals = head
+            prob = MultiProblem(indices=indices, values=values, y=y,
+                                weight=weight, offset=offset,
+                                prior_mean=prior_mean_T,
+                                prior_var_inv=prior_var_inv_T,
+                                head_x=head_x, head_ids=head_ids,
+                                tail_rows=t_rows, tail_cols=t_cols,
+                                tail_vals=t_vals)
+            return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
+                              max_cg_iter=max_cg_iter, precondition=pcg).w
+
+        solve_multi = jax.vmap(solve_block_multi,
+                               in_axes=(0, 0, 0, 0, 0, head_inner,
+                                        0, None, None, 0))
+
+    def run(indices, values, y, weight, offset, head, present, z, u,
+            rho_eff, eps):
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u
         prior_var_inv = rho_eff[:, None] * jnp.ones((1, n), dtype)
-        x = solve_grid(indices, values, y, weight, offset,
-                       prior_mean, prior_var_inv, z, eps)
+        if multi_rhs:
+            x_T = solve_multi(indices, values, y, weight, offset, head,
+                              prior_mean.transpose(1, 2, 0),
+                              prior_var_inv.T, z.T, eps)
+            x = x_T.transpose(2, 0, 1)
+        else:
+            x = solve_grid(indices, values, y, weight, offset, head,
+                           prior_mean, prior_var_inv, z, eps)
         x = jnp.where(present[None, :, :], x, prior_mean)
         return x
 
@@ -78,10 +114,12 @@ class StreamingAdmmTrainer:
 
     def __init__(self, groups: Sequence[BlockedData], vocab,
                  config: AdmmConfig):
-        if config.head_size > 0 or config.dual_layout:
-            raise NotImplementedError(
-                "hybrid/dual layouts in streaming mode land with the "
-                "device-side prefetcher")
+        if config.dual_layout:
+            raise NotImplementedError("dual layout in streaming mode")
+        if config.head_size > 0:
+            from mlease_tpu.core.dataset import to_hybrid
+            groups = [to_hybrid(g, config.head_size) if g.head is None else g
+                      for g in groups]
         self.groups = list(groups)
         self.vocab = vocab
         self.config = config
@@ -89,8 +127,11 @@ class StreamingAdmmTrainer:
         self.dim = self.groups[0].dim
         self.lambdas = [float(l) for l in config.lambdas]
         self.rhos = config.resolved_rhos()
-        self.solver = build_group_solver(config.max_newton_iter,
-                                         config.max_cg_iter)
+        self.use_head = self.groups[0].head is not None
+        self.solver = build_group_solver(
+            config.max_newton_iter, config.max_cg_iter,
+            use_head=self.use_head,
+            multi_rhs=config.multi_rhs, pcg=config.pcg)
         self.eps_scales = [obj.class_balance_eps_scale(g.y, g.nrows)
                            for g in self.groups]
         self.lam_vec = np.stack([
@@ -129,11 +170,19 @@ class StreamingAdmmTrainer:
             usum = np.zeros((L, n))
             x_groups = []
             for g, u_g, scale in zip(self.groups, u_groups, self.eps_scales):
+                head = (None, None, None, None, None)
+                if self.use_head:
+                    head = (jnp.asarray(g.head, dtype),
+                            jnp.asarray(g.head_ids),
+                            jnp.asarray(g.tail_rows),
+                            jnp.asarray(g.tail_cols),
+                            jnp.asarray(g.tail_vals, dtype))
                 x = self.solver(jnp.asarray(g.indices),
                                 jnp.asarray(g.values, dtype),
                                 jnp.asarray(g.y, dtype),
                                 jnp.asarray(g.weight, dtype),
                                 jnp.asarray(g.offset, dtype),
+                                head,
                                 jnp.asarray(g.present),
                                 z_dev, jnp.asarray(u_g, dtype), rho_eff,
                                 jnp.asarray(inner_eps * scale, dtype))

@@ -47,3 +47,17 @@ def test_streaming_l1():
     res_stream = StreamingAdmmTrainer(
         [pack_blocks([b], vocab) for b in blocks], vocab, cfg).run()
     np.testing.assert_allclose(res_stream.z, res_mem.z, rtol=1e-9, atol=1e-11)
+
+
+def test_streaming_hybrid_multi_rhs():
+    rng = np.random.default_rng(2)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::3] for i in range(3)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True, pcg=True)
+    res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run()
+    res_stream = StreamingAdmmTrainer(
+        [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)],
+        vocab, cfg).run()
+    np.testing.assert_allclose(res_stream.z, res_mem.z, rtol=1e-9, atol=1e-11)
