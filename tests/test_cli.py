@@ -142,3 +142,19 @@ def test_cli_test_and_loglik(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "1.0" in res
     assert res["1.0"]["testLoglik"] < 0
+
+
+def test_cli_train_hybrid_config(tmp_path, capsys):
+    """head.size / multi.rhs / pcg / relaxation through the job config."""
+    data = synth_avro(tmp_path, name="hyb.avro")
+    out = str(tmp_path / "hout")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out, "test.path": data,
+        "num.blocks": 2, "lambda": "1", "num.iters": 4, "regularizer": 2,
+        "head.size": 8, "multi.rhs": "true", "pcg": "true",
+        "relaxation": 1.6, "test.loglik.per.iter": "true",
+        "force.output.overwrite": "true", "dtype": "float64"})
+    assert main(["train", job]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["models"] == ["1.0"]
+    assert printed["best_loglik"] < 0
