@@ -66,3 +66,26 @@ def test_newton_cholesky_vmap():
         single = newton_cholesky(p, jnp.zeros(n, jnp.float64), 1e-6)
         np.testing.assert_allclose(np.asarray(res.w[i]),
                                    np.asarray(single.w), rtol=1e-6, atol=1e-8)
+
+
+def test_tile_segment_sum_interpret():
+    """Scatter-free tail X'd (experimental): layout + kernel end-to-end."""
+    from mlease_tpu.ops.pallas.tile_sum import (TILE_C, segment_layout,
+                                                tile_segment_sum)
+
+    rng = np.random.default_rng(0)
+    T, R, n, L = 3000, 128, 900, 3
+    rows = rng.integers(0, R, T).astype(np.int32)
+    cols = rng.integers(0, n, T).astype(np.int32)
+    vals = rng.normal(size=T).astype(np.float32)
+    d = rng.normal(size=(R, L)).astype(np.float32)
+
+    order, slot, local, C, P = segment_layout(cols, n)
+    # runtime side: pure gather into the pre-permuted slab positions
+    contrib = np.zeros((C * P, L), np.float32)
+    contrib[slot] = (vals[:, None] * d[rows])[order]
+    out = tile_segment_sum(jnp.asarray(contrib.reshape(C, P, L)),
+                           jnp.asarray(local), C, P, interpret=True)
+    want = np.zeros((C * TILE_C, L), np.float32)
+    np.add.at(want, cols, vals[:, None] * d[rows])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
