@@ -280,11 +280,23 @@ def cmd_fit(args):
     blk = pack_rows(rows, vocab, bias=args.bias if args.bias > 0 else 1.0)
     n = vocab.size
     pvi = np.full(n, 1.0 / args.prior_var)
-    prob = obj.make_problem(blk, np.zeros(n), pvi,
+    pm = np.full(n, args.prior_mean)
+    prob = obj.make_problem(blk, pm, pvi,
                             dtype=jnp.float64 if args.f64 else jnp.float32)
+    w0 = np.zeros(n)
+    if args.init:
+        # warm start from a previously written "name = value" text model
+        # (LibLinear.main's init: option, LibLinear.java:557-563)
+        with open(args.init) as f:
+            for line in f:
+                name, _, value = line.partition("=")
+                name = name.strip()
+                idx = vocab.get(name)
+                if idx is not None and value.strip():
+                    w0[idx] = float(value)
     scale = float(obj.class_balance_eps_scale(
         blk.y[None], np.array([blk.nrows]))[0])
-    res = tron(prob, jnp.zeros(n, prob.values.dtype),
+    res = tron(prob, jnp.asarray(w0, prob.values.dtype),
                eps=args.epsilon * scale, max_iter=args.max_iter)
     w = np.asarray(res.w, np.float64)
 
@@ -327,6 +339,9 @@ def main(argv=None):
     fit.add_argument("--out", default="")
     fit.add_argument("--bias", type=float, default=1.0)
     fit.add_argument("--prior-var", type=float, default=1.0)
+    fit.add_argument("--prior-mean", type=float, default=0.0)
+    fit.add_argument("--init", default="",
+                     help="warm start from a text model written by --out")
     fit.add_argument("--epsilon", type=float, default=0.01)
     fit.add_argument("--max-iter", type=int, default=1000)
     fit.add_argument("--posterior-var", action="store_true")

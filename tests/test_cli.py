@@ -158,3 +158,27 @@ def test_cli_train_hybrid_config(tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["models"] == ["1.0"]
     assert printed["best_loglik"] < 0
+
+
+def test_cli_fit_warm_start_and_prior(tmp_path, capsys):
+    rng = np.random.default_rng(3)
+    lines = [f"{int(rng.integers(0, 2))} x:{rng.normal():.4f}"
+             for _ in range(80)]
+    path = str(tmp_path / "t.libsvm")
+    open(path, "w").write("\n".join(lines))
+    out1 = str(tmp_path / "m1.txt")
+    assert main(["fit", path, "--out", out1, "--f64"]) == 0
+    capsys.readouterr()
+    # warm start from the solution: converges immediately to the same model
+    out2 = str(tmp_path / "m2.txt")
+    assert main(["fit", path, "--out", out2, "--init", out1, "--f64"]) == 0
+    err = capsys.readouterr().err
+    assert "iterations=0" in err
+    assert open(out1).read() == open(out2).read()
+    # nonzero prior mean shifts the solution
+    out3 = str(tmp_path / "m3.txt")
+    assert main(["fit", path, "--out", out3, "--prior-mean", "5.0",
+                 "--prior-var", "0.01", "--f64"]) == 0
+    vals = {l.split(" = ")[0]: float(l.split(" = ")[1])
+            for l in open(out3).read().strip().splitlines()}
+    assert vals["x"] == pytest.approx(5.0, abs=0.5)

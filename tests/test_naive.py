@@ -92,3 +92,20 @@ def test_naive_no_intercept_mode():
     result = train_naive({"0": rows}, cfg)
     model = result.models["1.0#0"]
     assert model.intercept == 0.0
+
+
+def test_naive_on_mesh_matches_single():
+    from mlease_tpu.parallel import cpu_devices, make_mesh
+
+    rng = np.random.default_rng(5)
+    keyed = {str(i): synth_rows(rng, 60 + 10 * i) for i in range(3)}
+    vocab = build_vocab([r for rows in keyed.values() for r in rows])
+    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64)
+    res_single = train_naive(keyed, cfg, vocab=vocab)
+    mesh = make_mesh(cpu_devices())
+    res_mesh = train_naive(keyed, cfg, vocab=vocab, mesh=mesh)
+    assert set(res_mesh.models) == set(res_single.models)
+    for k in res_single.models:
+        np.testing.assert_allclose(res_mesh.models[k].to_dense(vocab),
+                                   res_single.models[k].to_dense(vocab),
+                                   rtol=1e-10, atol=1e-12)
