@@ -263,3 +263,51 @@ def write_item_models(path: str, result: ItemResult,
             "posteriorVar": result.posterior_var[key].to_avro(intercept_key),
         })
     avro.write_records(path, schemas.LINEAR_MODEL_WITH_VAR, records)
+
+
+# Full posterior covariance persistence. The reference computes the full
+# Laplace covariance (LibLinear.java:317-327, getPostVarMatrixMap) but never
+# writes it to disk; this schema fills that gap: row-major covariance over
+# the listed feature order (intercept first).
+COVARIANCE_SCHEMA = {
+    "type": "record",
+    "name": "LinearModelCovarianceAvro",
+    "namespace": "com.linkedin.mlease.avro",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "features", "type": {"type": "array", "items": "string"}},
+        {"name": "cov", "type": {"type": "array", "items": "float"}},
+    ],
+}
+
+
+def write_item_covariances(path: str, result: ItemResult,
+                           intercept_key: str = INTERCEPT_NAME) -> None:
+    if result.covariances is None:
+        raise ValueError("train with compute_var=True, full_cov=True")
+    from mlease_tpu.io import avro
+
+    records = []
+    for key, cov in result.covariances.items():
+        internal = [INTERCEPT_NAME] + list(result.models[key].coefficients)
+        display = [intercept_key] + internal[1:]
+        flat = [float(cov.get((a, b), 0.0))
+                for a in internal for b in internal]
+        records.append({"key": key, "features": display, "cov": flat})
+    avro.write_records(path, COVARIANCE_SCHEMA, records)
+
+
+def read_item_covariances(path: str):
+    """-> {key: (names list, cov ndarray (F, F))}."""
+    import numpy as _np
+
+    from mlease_tpu.io import avro
+
+    out = {}
+    for rec in avro.read_records(path):
+        names = list(rec["features"])
+        F = len(names)
+        out[rec["key"]] = (names,
+                           _np.asarray(rec["cov"],
+                                       _np.float64).reshape(F, F))
+    return out

@@ -120,3 +120,26 @@ def test_item_write_avro(tmp_path):
     assert recs[0]["key"] == "1.0:1.0#x"
     assert any(f["name"] == INTERCEPT_NAME for f in recs[0]["model"])
     assert recs[0]["posteriorVar"]
+
+
+def test_item_covariance_persistence(tmp_path):
+    from mlease_tpu.train.item import (read_item_covariances,
+                                       write_item_covariances)
+
+    rng = np.random.default_rng(6)
+    keyed = {"i": synth_rows(rng, 100, n_feat=5)}
+    cfg = ItemConfig(intercept_lambdas=[1.0], default_lambdas=[2.0],
+                     compute_var=True, full_cov=True, dtype=jnp.float64)
+    result = train_item_models(keyed, cfg)
+    path = str(tmp_path / "cov.avro")
+    write_item_covariances(path, result)
+    back = read_item_covariances(path)
+    names, cov = back["1.0:2.0#i"]
+    assert names[0] == INTERCEPT_NAME
+    # symmetric PSD, diagonal matches the reported posterior variances
+    np.testing.assert_allclose(cov, cov.T, atol=1e-6)
+    assert np.all(np.linalg.eigvalsh(cov) > -1e-6)
+    pv = result.posterior_var["1.0:2.0#i"]
+    assert cov[0, 0] == pytest.approx(pv.intercept, rel=1e-4)
+    for i, name in enumerate(names[1:], start=1):
+        assert cov[i, i] == pytest.approx(pv.coefficients[name], rel=1e-4)
