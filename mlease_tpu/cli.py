@@ -29,7 +29,12 @@ import numpy as np
 def _load_config(path: str):
     from mlease_tpu.utils.config import JobConfig
 
-    return JobConfig.from_file(path)
+    config = JobConfig.from_file(path)
+    # "logging.level" job key (reference: AbstractAvroJob.java:48-49)
+    level = config.get_string("logging.level", "")
+    if level:
+        logging.getLogger().setLevel(level.upper())
+    return config
 
 
 def _dtype(config):
