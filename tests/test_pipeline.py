@@ -142,3 +142,47 @@ def test_pipeline_resume(pipeline_result, tmp_path):
     # resumed run starts after the checkpointed iteration
     assert result2.iterations >= result.iterations
     assert np.all(np.isfinite(result2.z))
+
+
+def test_pipeline_click_replication_e2e(tmp_path):
+    """num.click.replicates end-to-end: positives replicated across
+    consecutive blocks with weight/n, total positive weight preserved, and
+    the trained model close to the unreplicated one (replication only
+    redistributes positives across blocks)."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.io import avro as avro_mod, schemas
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for _ in range(300):
+        nnz = int(rng.integers(1, 4))
+        feats = [{"name": f"f{int(j)}", "term": "", "value": float(rng.normal())}
+                 for j in rng.choice(8, nnz, replace=False)]
+        score = sum(f["value"] for f in feats)
+        recs.append({"key": "", "response": int(rng.random() < 1 / (1 + np.exp(-score))),
+                     "features": feats, "weight": 1.0, "offset": 0.0})
+    data = str(tmp_path / "cr.avro")
+    avro_mod.write_records(data, schemas.REGRESSION_PREPARE_OUTPUT, recs)
+
+    def run(replicates, out):
+        cfg = JobConfig({
+            "input.paths": data, "output.base.path": str(tmp_path / out),
+            "num.blocks": "4", "lambda": "1", "num.iters": "25",
+            "regularizer": "2", "num.click.replicates": str(replicates),
+            "force.output.overwrite": "true", "dtype": "float64",
+            "relaxation": "1.7",
+        })
+        return run_regression_pipeline(cfg)
+
+    res1 = run(1, "o1")
+    res2 = run(2, "o2")
+    # prepared rows: replicated positives at weight 1/2
+    prep = avro.read_records(str(tmp_path / "o2" / "tmp-data"))
+    pos = [r for r in prep if r["response"] == 1]
+    assert pos and all(abs(r["weight"] - 0.5) < 1e-6 for r in pos)
+    n_pos_orig = sum(1 for r in recs if r["response"] == 1)
+    assert len(pos) == 2 * n_pos_orig
+    # consensus solutions close (same global objective, different partition)
+    np.testing.assert_allclose(res2.z, res1.z, atol=0.06)
