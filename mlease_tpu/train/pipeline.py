@@ -97,6 +97,12 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
 
 def run_regression_pipeline(config: JobConfig, mesh=None,
                             dtype=None) -> AdmmResult:
+    if mesh is None and config.get_boolean("use.mesh", False):
+        # shard blocks over all visible devices (single-host multi-chip; for
+        # multi-host see parallel/distributed.py)
+        from mlease_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        logger.info("mesh over %d devices", mesh.devices.size)
     out_base = config.get_string("output.base.path")
     if config.get_boolean("force.output.overwrite", False):
         shutil.rmtree(out_base, ignore_errors=True)

@@ -186,3 +186,31 @@ def test_pipeline_click_replication_e2e(tmp_path):
     assert len(pos) == 2 * n_pos_orig
     # consensus solutions close (same global objective, different partition)
     np.testing.assert_allclose(res2.z, res1.z, atol=0.06)
+
+
+def test_pipeline_use_mesh_config(tmp_path):
+    """use.mesh=true shards over all (virtual CPU) devices; same results."""
+    from mlease_tpu.io import avro as avro_mod, schemas
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    rng = np.random.default_rng(4)
+    recs = []
+    for _ in range(160):
+        feats = [{"name": f"f{int(j)}", "term": "", "value": 1.0}
+                 for j in rng.choice(6, 2, replace=False)]
+        recs.append({"key": "", "response": int(rng.integers(0, 2)),
+                     "features": feats, "weight": 1.0, "offset": 0.0})
+    data = str(tmp_path / "m.avro")
+    avro_mod.write_records(data, schemas.REGRESSION_PREPARE_OUTPUT, recs)
+
+    def cfg(out, use_mesh):
+        return JobConfig({
+            "input.paths": data, "output.base.path": str(tmp_path / out),
+            "num.blocks": "4", "lambda": "1", "num.iters": "4",
+            "regularizer": "2", "force.output.overwrite": "true",
+            "use.mesh": str(use_mesh).lower(), "dtype": "float64"})
+
+    res_plain = run_regression_pipeline(cfg("p", False))
+    res_mesh = run_regression_pipeline(cfg("m", True))
+    np.testing.assert_allclose(res_mesh.z, res_plain.z, rtol=1e-12,
+                               atol=1e-12)
