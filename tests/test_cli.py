@@ -182,3 +182,17 @@ def test_cli_fit_warm_start_and_prior(tmp_path, capsys):
     vals = {l.split(" = ")[0]: float(l.split(" = ")[1])
             for l in open(out3).read().strip().splitlines()}
     assert vals["x"] == pytest.approx(5.0, abs=0.5)
+
+
+def test_cli_fit_json(tmp_path, capsys):
+    path = str(tmp_path / "rows.json")
+    rng = np.random.default_rng(4)
+    with open(path, "w") as f:
+        for _ in range(60):
+            f.write(json.dumps({
+                "response": int(rng.integers(0, 2)),
+                "features": [{"name": "a", "term": "",
+                              "value": float(rng.normal())}]}) + "\n")
+    out = str(tmp_path / "mj.txt")
+    assert main(["fit", path, "--ftype", "json", "--out", out, "--f64"]) == 0
+    assert "a =" in open(out).read()
