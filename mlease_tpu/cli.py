@@ -211,7 +211,8 @@ def cmd_loglik(args):
 def cmd_itemtest(args):
     from mlease_tpu.core.linear_model import LinearModel
     from mlease_tpu.eval.item_score import (run_item_model_test,
-                                            run_item_model_test_loglik)
+                                            run_item_model_test_loglik,
+                                            run_item_model_test_sharded)
     from mlease_tpu.io import avro
 
     config = _load_config(args.config)
@@ -219,12 +220,30 @@ def cmd_itemtest(args):
     with avro.AvroFileReader(avro.enumerate_avro_files(
             config.get_string("input.paths"))[0]) as r:
         input_schema = r.schema
+    out_base = config.get_string("output.base.path")
+    model_path = config.get_string("model.path")
+    # num.model.shards > 1: memory-bounded shard-by-shard model loading,
+    # the analogue of the reference's per-reducer hash shard
+    # (ItemModelTest.java:157-171); the default loads everything at once.
+    nshards = config.get_int("num.model.shards", 1)
+    if nshards > 1:
+        prefixes = (config.get_string_list("model.prefixes", [])
+                    or None)
+        scored = run_item_model_test_sharded(
+            records, input_schema, model_path,
+            os.path.join(out_base, "pred", "part-r-00000.avro"),
+            item_key=config.get_string("item.key"),
+            model_prefixes=prefixes, nshards=nshards,
+            ignore_value=config.get_boolean("binary.feature", False))
+        agg = run_item_model_test_loglik(
+            scored, os.path.join(out_base, "_loglik", "part-r-00000.avro"))
+        print(json.dumps(agg))
+        return 0
     models = {}
-    for rec in avro.read_records(config.get_string("model.path")):
+    for rec in avro.read_records(model_path):
         models[rec["key"]] = LinearModel.from_avro(rec["model"])
     prefixes = config.get_string_list(
         "model.prefixes", sorted({k.split("#", 1)[0] for k in models}))
-    out_base = config.get_string("output.base.path")
     scored = run_item_model_test(
         records, input_schema, models,
         os.path.join(out_base, "pred", "part-r-00000.avro"),

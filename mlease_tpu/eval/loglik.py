@@ -21,12 +21,14 @@ from mlease_tpu.io.records import get_response
 
 def record_loglik(response: int, pred: float, weight: float = 1.0) -> float:
     """Weighted Bernoulli loglik of one scored record
-    (RegressionTestLoglik.java:138-145)."""
+    (RegressionTestLoglik.java:138-145). log1p(exp(x)) is computed as
+    logaddexp(0, x): the reference's direct form overflows to -inf for
+    |pred| beyond ~709 — a flaw we fix rather than copy."""
     if response not in (1, 0, -1):
         raise ValueError("response should be 1,0 or -1!")
     if response == 1:
-        return float(-np.log1p(np.exp(-pred)) * weight)
-    return float(-np.log1p(np.exp(pred)) * weight)
+        return float(-np.logaddexp(0.0, -pred) * weight)
+    return float(-np.logaddexp(0.0, pred) * weight)
 
 
 def aggregate_loglik(records: Iterable[Mapping]) -> dict:
@@ -45,7 +47,7 @@ def aggregate_loglik(records: Iterable[Mapping]) -> dict:
     p = np.asarray(preds)
     w = np.asarray(weights)
     yz = np.where(r == 1, p, -p)
-    ll = -np.log1p(np.exp(-yz)) * w
+    ll = -np.logaddexp(0.0, -yz) * w  # overflow-safe log1p(exp(-yz))
     n = float(w.sum())
     return {"key": "averageTestLoglik",
             "testLoglik": float(ll.sum() / n), "count": n}
