@@ -87,8 +87,11 @@ def cmd_naive(args):
         lambda_map = read_lambda_map(config.get_string("lambda.map"))
     cfg = NaiveConfig(
         lambdas=config.get_float_list("lambda"),
-        liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
+        # 0.001 default (RegressionNaiveTrain.java:149); the ADMM warm-start
+        # init path uses 0.01 (train/pipeline.py)
+        liblinear_epsilon=config.get_float("liblinear.epsilon", 0.001),
         has_intercept=config.get_boolean("has.intercept", True),
+        intercept_key=config.get_string("intercept.key", "") or None,
         penalize_intercept=config.get_boolean("penalize.intercept", False),
         prior_mean=config.get_float("prior.mean", 0.0),
         lambda_map=lambda_map,

@@ -46,6 +46,17 @@ class FeatureVocab:
         for n in names:
             self.add(n)
 
+    @classmethod
+    def from_names(cls, names: Iterable[str],
+                   has_intercept: bool = True) -> "FeatureVocab":
+        """Frozen vocab from an ordered feature-name list (the intercept
+        column is appended last when has_intercept). The public constructor
+        for benches/tools that already hold a final name list."""
+        v = cls(has_intercept=has_intercept)
+        for n in names:
+            v.add(n)
+        return v.freeze()
+
     def freeze(self) -> "FeatureVocab":
         """Finalize: when has_intercept, the intercept becomes the last index."""
         if not self._frozen:

@@ -97,6 +97,18 @@ def compile_descriptor(schema: Any, names, *, map_key: str = "") -> str:
     schema = names.resolve(schema)
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise DescriptorError("top-level schema must be a record")
+    # The Python path (records.get_response) applies per-record
+    # click -> response -> label precedence with later non-null aliases
+    # winning (Util.java:309-320). The native decoder has no per-record null
+    # logic, so it only handles the unambiguous case: exactly one alias
+    # column in the schema. Zero aliases would silently train all-negative;
+    # two or more could disagree with the Python path — both fall back.
+    aliases = [f["name"] for f in schema["fields"]
+               if f["name"] in ("response", "click", "label")]
+    if len(aliases) != 1:
+        raise DescriptorError(
+            "need exactly one of response/click/label in the schema for "
+            f"native ingest, found {aliases!r}; use the Python path")
     parts = [f"R{len(schema['fields'])};"]
     for f in schema["fields"]:
         fname = f["name"]

@@ -66,7 +66,10 @@ class AdmmConfig:
     test_loglik_per_iter: bool = False
     lambda_map: Mapping[str, float] | None = None
     positive_weight: float = 1.0
-    reference_l1_compat: bool = False
+    reference_l1_compat: bool = True  # reference-exact L1 band behavior by
+                                      # default (RegressionAdmmTrain.java:420-437
+                                      # leaves |v|<=t unchanged); False = the
+                                      # textbook soft-threshold (exact zeros)
     relaxation: float = 1.0       # ADMM over-relaxation alpha (1.0 = reference)
     dual_layout: bool = False     # CSC gather-based X'v (2x nnz storage)
     head_size: int = 0            # dense-head hybrid: top-H hot columns ride
@@ -113,9 +116,35 @@ class AdmmResult:
 
 
 def _lambda_key(lam: float) -> str:
-    """Reference model keys use Java Float.toString ("1.0", "0.5")."""
-    s = f"{lam:g}"
-    return s if ("." in s or "e" in s or "E" in s) else s + ".0"
+    """Reference model keys are Java Float.toString of the (float) lambda
+    ("1.0", "0.5", "1.0E-4", "1.2345678E7"): plain decimal for
+    1e-3 <= |v| < 1e7, computerized scientific notation otherwise, always
+    with at least one fractional digit (RegressionAdmmTrain.java:561 keys
+    via String.valueOf(float)). Digits are the shortest float32 round-trip
+    (Dragon4), matching modern Java; the reference-era FloatingDecimal
+    differs only on a handful of pathological subnormals."""
+    f = np.float32(lam)
+    if np.isnan(f):
+        return "NaN"
+    if np.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    sign = "-" if np.signbit(f) else ""
+    if f == 0:
+        return sign + "0.0"
+    sci = np.format_float_scientific(abs(f), unique=True, trim="0")
+    mant, _, exp_s = sci.partition("e")
+    e = int(exp_s)
+    digits = mant.replace(".", "").rstrip("0") or "0"
+    if -3 <= e < 7:
+        if e >= 0:
+            ipart = digits[:e + 1].ljust(e + 1, "0")
+            fpart = digits[e + 1:] or "0"
+        else:
+            ipart = "0"
+            fpart = "0" * (-e - 1) + digits
+        return f"{sign}{ipart}.{fpart}"
+    fpart = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{fpart}E{e}"
 
 
 def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,

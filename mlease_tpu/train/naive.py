@@ -42,7 +42,9 @@ from mlease_tpu.train.admm import _lambda_key
 @dataclass
 class NaiveConfig:
     lambdas: Sequence[float] = (1.0,)
-    liblinear_epsilon: float = 0.01
+    liblinear_epsilon: float = 0.001  # RegressionNaiveTrain.java:149 default
+                                      # (the ADMM warm-start init path sets
+                                      # 0.01 explicitly, AdmmTrain.java:246)
     has_intercept: bool = True
     penalize_intercept: bool = False
     prior_mean: float = 0.0
@@ -57,6 +59,12 @@ class NaiveConfig:
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
     intercept_prior_var: float = 100000.0  # RegressionNaiveTrain.java:342
+    intercept_key: str | None = None  # "intercept.key": WHICH feature gets
+                                      # the unpenalized 1e5 prior variance
+                                      # (the reference injects it into the
+                                      # variance map under this name,
+                                      # RegressionNaiveTrain.java:146,342);
+                                      # None = the bias column "(INTERCEPT)"
 
 
 @dataclass
@@ -99,12 +107,18 @@ def train_naive(keyed_rows: Mapping[str, Sequence[Mapping]],
 
     # prior variance per (lambda, feature): 1/lambda default, 1/lambda.map[k]
     # overrides, big variance for the intercept unless penalized
+    # the unpenalized-intercept entry targets the feature named by
+    # intercept.key (default: the bias column); a custom name redirects the
+    # 1e5 variance to that data feature and leaves the bias column at
+    # 1/lambda, exactly as the reference's variance-map injection behaves
+    icpt_idx = (vocab.get(cfg.intercept_key) if cfg.intercept_key
+                else vocab.intercept_index)
     pvi = np.zeros((len(lambdas), n))
     for i, lam in enumerate(lambdas):
         lam_vec = admm_math.per_feature_lambda(lam, n, cfg.lambda_map, vocab)
         pvi[i] = lam_vec
-        if cfg.has_intercept and not cfg.penalize_intercept:
-            pvi[i, vocab.intercept_index] = 1.0 / cfg.intercept_prior_var
+        if icpt_idx is not None and not cfg.penalize_intercept:
+            pvi[i, icpt_idx] = 1.0 / cfg.intercept_prior_var
     prior_var_inv = jnp.asarray(pvi, dtype)
     prior_mean = jnp.full((n,), cfg.prior_mean, dtype)
 

@@ -83,7 +83,7 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         test_loglik_per_iter=config.get_boolean("test.loglik.per.iter", False),
         lambda_map=lambda_map,
         relaxation=config.get_float("relaxation", 1.0),
-        reference_l1_compat=config.get_boolean("reference.l1.compat", False),
+        reference_l1_compat=config.get_boolean("reference.l1.compat", True),
         head_size=config.get_int("head.size", 0),
         dual_layout=config.get_boolean("dual.layout", False),
         multi_rhs=config.get_boolean("multi.rhs", True),
@@ -187,9 +187,13 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         from mlease_tpu.io.records import normalize_row
 
         test_records = avro.read_records(test_path)
-        # reference caps at the FIRST part-file / 1M events
+        # per-iteration SAMPLE loglik uses only the FIRST enumerated
+        # part-file (<=1M events, enforced in AdmmTrainer); the final
+        # Test/TestLoglik jobs below score the full test set
+        # (RegressionAdmmTrain.java:211-217,771,799 vs RegressionTest)
+        first_part = avro.enumerate_avro_files(test_path)[0]
         test_rows = [normalize_row(r, ignore_value=ignore_value)
-                     for r in test_records]
+                     for r in avro.read_records(first_part)]
 
     # ---- optional warm start (naive mean init, AdmmTrain.java:236-276)
     z0 = None

@@ -161,6 +161,7 @@ def test_admm_l1_sparsifies_and_matches_ista():
     data = pack_blocks([rows[i::4] for i in range(4)], vocab)
     lam = 6.0
     cfg = AdmmConfig(lambdas=[lam], num_iters=60, regularizer=1,
+                     reference_l1_compat=False,  # textbook soft-threshold
                      dtype=jnp.float64, epsilon=1e-6)
     result = AdmmTrainer(data, vocab, cfg).run()
     z = result.z[0]

@@ -109,3 +109,29 @@ def test_naive_on_mesh_matches_single():
         np.testing.assert_allclose(res_mesh.models[k].to_dense(vocab),
                                    res_single.models[k].to_dense(vocab),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_naive_intercept_key_redirects_unpenalized_variance():
+    """intercept.key names WHICH feature gets the 1e5 prior variance
+    (RegressionNaiveTrain.java:146,342): with a custom key, that feature is
+    effectively unpenalized and the bias column is penalized at 1/lambda."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(300):
+        x = rng.normal(size=2)
+        p = 1 / (1 + np.exp(-(2.0 * x[0] + 3.0)))  # strong f0 + intercept
+        rows.append({"response": int(rng.random() < p),
+                     "features": [("f0", float(x[0])), ("f1", float(x[1]))],
+                     "weight": 1.0, "offset": 0.0})
+    keyed = {"0": rows}
+    lam = 50.0  # heavy shrinkage so the penalized/unpenalized gap is visible
+
+    base = train_naive(keyed, NaiveConfig(lambdas=[lam], dtype=jnp.float64))
+    redir = train_naive(keyed, NaiveConfig(lambdas=[lam], dtype=jnp.float64,
+                                           intercept_key="f0"))
+    mb = base.models["50.0#0"]
+    mr = redir.models["50.0#0"]
+    # base: bias unpenalized -> large intercept; redirected: f0 unpenalized
+    # -> |f0 coef| grows, intercept shrinks toward the 1/lambda prior
+    assert abs(mr.coefficients["f0"]) > abs(mb.coefficients["f0"])
+    assert abs(mr.intercept) < abs(mb.intercept)

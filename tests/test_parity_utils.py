@@ -61,3 +61,28 @@ def test_host_block_range_single_process():
     from mlease_tpu.parallel.distributed import host_block_range
 
     assert host_block_range(10) == (0, 10)
+
+
+# ---------------------------------------------------------------------------
+# Java Float.toString lambda keys (RegressionAdmmTrain.java:561 via
+# String.valueOf(float); ADVICE round-1 item 1)
+# ---------------------------------------------------------------------------
+
+def test_lambda_key_java_float_tostring():
+    from mlease_tpu.train.admm import _lambda_key
+
+    # plain decimal range [1e-3, 1e7)
+    assert _lambda_key(1) == "1.0"
+    assert _lambda_key(10) == "10.0"
+    assert _lambda_key(100) == "100.0"
+    assert _lambda_key(0.5) == "0.5"
+    assert _lambda_key(0.001) == "0.001"
+    assert _lambda_key(9999999) == "9999999.0"
+    assert _lambda_key(1234.5) == "1234.5"
+    # scientific below 1e-3 and at/above 1e7 (Java style, no '+')
+    assert _lambda_key(1e-4) == "1.0E-4"
+    assert _lambda_key(2.5e-4) == "2.5E-4"
+    assert _lambda_key(1e7) == "1.0E7"
+    assert _lambda_key(12345678) == "1.2345678E7"
+    assert _lambda_key(1e10) == "1.0E10"
+    assert _lambda_key(0.0) == "0.0"
