@@ -2,7 +2,24 @@
 
 Measures steady-state ADMM iterations/second of the full jitted training step
 (batched TRON x-update over (lambda x block), consensus psum means, z/u
-updates) on a synthetic sparse CTR-style workload, and prints ONE JSON line.
+updates) on a synthetic sparse CTR-style workload, plus a convergence run
+(wall-clock to target held-out loglik), and prints ONE JSON line.
+
+Robustness: a SIGALRM watchdog (BENCH_DEADLINE seconds, default 240) prints
+the best measurement available so far and exits 0, so a slow remote compile on
+the tunneled chip can degrade the result but can never leave the driver with
+nothing to parse (round-1 failure mode: rc 124, parsed null). The repo ships a
+warm persistent compilation cache (.jax_cache/) for the default shapes; a
+cache hit cuts the heavy while-loop program's compile from ~16 s to ~5 s.
+
+Roofline accounting: the solver returns lock-step loop-trip counters
+(ops/tron_multi.py MultiTronResult.newton_trips/cg_trips); every CG trip costs
+one Hv = 2 passes over the data, every Newton trip ~4 passes (fun + grad +
+Jacobi diag). From the analytic per-pass FLOP/byte model of the hybrid layout
+(dense head MXU matmul + ELL/COO gathers) we report achieved FLOP/s, HBM
+bandwidth, mfu and bw_util against the chip's peaks. The workload is
+gather-bound, so bw_util is the number that measures distance from
+speed-of-light; mfu contextualizes how little of the MXU a sparse GLM can use.
 
 Baseline context: the reference (linkedin/ml-ease) runs ONE Hadoop MapReduce
 job per ADMM iteration (RegressionAdmmTrain.java:281-497 — job submission,
@@ -13,15 +30,57 @@ of scheduling+shuffle+IO alone, so vs_baseline = iterations_per_s * 30.0
 (i.e. how many times faster than one 30-second MapReduce round per iteration).
 
 Scale knobs via env: BENCH_FEATURES, BENCH_BLOCKS, BENCH_ROWS (per block),
-BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS.
+BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS, BENCH_MODE (admm|item|convergence),
+BENCH_DEADLINE.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# Per-chip peaks for the roofline denominators. mfu is reported against the
+# bf16 MXU peak (the number "speed-of-light" claims are judged against even
+# though the solver accumulates in f32); bw_util against HBM bandwidth.
+CHIP_PEAKS = {
+    # TPU v5e: 197 bf16 TFLOP/s, 819 GB/s HBM per chip
+    "TPU v5 lite": {"flops": 197e12, "hbm": 819e9},
+    "TPU v5e": {"flops": 197e12, "hbm": 819e9},
+    # TPU v4: 275 bf16 TFLOP/s, 1228 GB/s
+    "TPU v4": {"flops": 275e12, "hbm": 1228e9},
+}
+DEFAULT_PEAKS = {"flops": 197e12, "hbm": 819e9}
+
+_RESULT: dict | None = None   # best-so-far JSON record (watchdog prints this)
+_PHASE = "startup"
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog(signum, frame):
+    if _RESULT is not None:
+        _emit(_RESULT)
+    else:
+        _emit({"metric": "admm_iterations_per_s", "value": 0.0,
+               "unit": f"iter/s (DEADLINE hit during phase '{_PHASE}' — "
+                       "no measurement completed)",
+               "vs_baseline": 0.0,
+               "detail": {"phase": _PHASE}})
+    os._exit(0)
+
+
+def _chip_peaks():
+    import jax
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    for key, peaks in CHIP_PEAKS.items():
+        if key.lower() in str(kind).lower():
+            return peaks, str(kind)
+    return DEFAULT_PEAKS, str(kind)
 
 
 def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
@@ -36,7 +95,7 @@ def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
     rng = np.random.default_rng(seed)
     n = n_features + 1  # + intercept column
     icpt = n_features
-    B, R, K = nblocks, rows_per_block, nnz + 1
+    B, R = nblocks, rows_per_block
 
     # zipf-ish column draw
     raw = rng.zipf(1.3, size=(B, R, nnz)).astype(np.int64)
@@ -66,10 +125,57 @@ def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
         nrows=np.full(B, R, np.int32), nblocks=B, dim=n), w_true
 
 
+def _make_vocab(n_features: int):
+    from mlease_tpu.core.vocab import FeatureVocab
+    return FeatureVocab.from_names(f"f{i}" for i in range(n_features))
+
+
+def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
+              passes_per_iter: float, iter_s: float):
+    """Analytic per-iteration FLOPs/bytes of the hybrid multi-RHS layout.
+
+    One "pass" = one sparse matvec direction over every block's data with all
+    L lambda lanes riding along (Xv or XTv of ops/tron_multi.py — the hot loop
+    the reference runs per CG step in LogisticRegressionL2.java:115-150).
+    """
+    B = data.nblocks
+    R = data.indices.shape[1]
+    K = data.indices.shape[2]           # ELL width (0 in pure-hybrid mode)
+    H = data.head.shape[2] if data.head is not None else 0
+    T = data.tail_vals.shape[1] if getattr(data, "tail_vals", None) is not None else 0
+    n = data.dim
+    L = n_lambdas
+
+    nnz_like = B * (R * K + R * H + T)
+    flops_pass = 2.0 * L * nnz_like + 6.0 * B * n * L   # gathers+MXU + (n,L) elementwise
+    bytes_pass = (B * R * K * (4 + 4 + 4 * L)            # ELL idx+val+gathered rows
+                  + B * R * H * head_dtype_bytes         # dense head read
+                  + B * (4 * H * L)                      # W head rows
+                  + B * T * (12 + 4 * L)                 # COO tail
+                  + B * (2 * 4 * R * L)                  # (R,L) intermediates
+                  + B * (2 * 4 * n * L))                 # (n,L) state rw
+
+    flops_iter = passes_per_iter * flops_pass
+    bytes_iter = passes_per_iter * bytes_pass
+    peaks, kind = _chip_peaks()
+    return {
+        "passes_per_iter": round(passes_per_iter, 1),
+        "model_flops_per_iter": float(f"{flops_iter:.4g}"),
+        "model_bytes_per_iter": float(f"{bytes_iter:.4g}"),
+        "achieved_gflops": round(flops_iter / iter_s / 1e9, 1),
+        "achieved_hbm_gbps": round(bytes_iter / iter_s / 1e9, 1),
+        "mfu": round(flops_iter / iter_s / peaks["flops"], 5),
+        "bw_util": round(bytes_iter / iter_s / peaks["hbm"], 4),
+        "chip": kind,
+        "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"]},
+    }
+
+
 def bench_item_models():
     """BENCH_MODE=item: thousands of independent per-key LRs as bucketed
     batched solves (the BASELINE.json "NaiveTrain mode: 10K independent
     per-key small LR models" configuration)."""
+    global _RESULT, _PHASE
     import jax
 
     from mlease_tpu.train.item import ItemConfig, train_item_models
@@ -79,6 +185,7 @@ def bench_item_models():
     n_feat = int(os.environ.get("BENCH_ITEM_FEATURES", 12))
     rng = np.random.default_rng(0)
 
+    _PHASE = "item-datagen"
     keyed = {}
     for i in range(n_items):
         w = rng.normal(size=n_feat) * 0.5
@@ -96,11 +203,12 @@ def bench_item_models():
 
     cfg = ItemConfig(intercept_lambdas=[1.0], default_lambdas=[1.0, 10.0],
                      compute_var=True)
+    _PHASE = "item-train"
     t0 = time.monotonic()
     result = train_item_models(keyed, cfg)
     elapsed = time.monotonic() - t0
     n_models = len(result.models)
-    print(json.dumps({
+    _RESULT = {
         "metric": "item_models_per_s",
         "value": round(n_models / elapsed, 1),
         "unit": f"models/s ({n_items} items x 2-point grid, "
@@ -108,48 +216,62 @@ def bench_item_models():
                 f"{jax.devices()[0].platform})",
         "vs_baseline": round((n_models / elapsed) / (1000 / 30.0), 1),
         "detail": {"total_s": round(elapsed, 2), "models": n_models},
-    }))
+    }
+    _emit(_RESULT)
 
 
 def bench_convergence():
-    """BENCH_MODE=convergence: wall-clock to target held-out loglik — the
-    BASELINE.json headline metric ('wall-clock to target test loglik')."""
+    """BENCH_MODE=convergence: standalone wall-clock-to-target-loglik run
+    (the default admm mode already includes this as detail.convergence)."""
+    global _RESULT
+    conv = _run_convergence()
+    _RESULT = {
+        "metric": "wall_clock_to_target_loglik_s",
+        "value": conv["time_to_target_s"],
+        "unit": conv["unit"],
+        "vs_baseline": conv["vs_baseline"],
+        "detail": conv,
+    }
+    _emit(_RESULT)
+
+
+def _run_convergence(trainer=None):
+    """Train to convergence with per-iteration held-out loglik; report
+    wall-clock to within 1e-3 of the best loglik (BASELINE.json headline)."""
+    global _PHASE
     import jax
     import jax.numpy as jnp
 
-    from mlease_tpu.core.vocab import FeatureVocab
-    from mlease_tpu.core.dataset import pack_rows
-    from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
+    from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer, build_loglik_fn
 
     n_features = int(os.environ.get("BENCH_FEATURES", 50_000))
     nblocks = int(os.environ.get("BENCH_BLOCKS", 4))
     rows = int(os.environ.get("BENCH_ROWS", 16_384))
     nnz = int(os.environ.get("BENCH_NNZ", 15))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_CONV_ITERS", 20))
 
-    data, w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
+    _PHASE = "convergence-setup"
+    if trainer is None:
+        data, _ = synth_blocked_data(n_features, nblocks, rows, nnz)
+        vocab = _make_vocab(n_features)
+        cfg = AdmmConfig(lambdas=[1.0, 10.0, 100.0], num_iters=iters,
+                         regularizer=2, test_loglik_per_iter=True,
+                         head_size=int(os.environ.get("BENCH_HEAD", "512")),
+                         dtype=jnp.float32)
+        trainer = AdmmTrainer(data, vocab, cfg)
+    else:
+        trainer.config.num_iters = iters
+        trainer.config.test_loglik_per_iter = True
+
     test, _ = synth_blocked_data(n_features, 1, 8192, nnz, seed=1)
-
-    vocab = FeatureVocab.__new__(FeatureVocab)
-    vocab._index = {}
-    vocab._names = [f"f{i}" for i in range(n_features)] + ["(INTERCEPT)"]
-    vocab._frozen = True
-    vocab.has_intercept = True
-
-    cfg = AdmmConfig(lambdas=[1.0, 10.0, 100.0], num_iters=iters,
-                     regularizer=2, test_loglik_per_iter=True,
-                     head_size=int(os.environ.get("BENCH_HEAD", "512")),
-                     dtype=jnp.float32)
-    trainer = AdmmTrainer(data, vocab, cfg)
-    # wire the pre-packed synthetic test block directly
     trainer.test_arrays = (
         jnp.asarray(test.indices[0]), jnp.asarray(test.values[0], jnp.float32),
         jnp.asarray(test.y[0], jnp.float32),
         jnp.asarray(test.weight[0], jnp.float32),
         jnp.asarray(test.offset[0], jnp.float32))
-    from mlease_tpu.train.admm import build_loglik_fn
     trainer.loglik_fn = build_loglik_fn()
 
+    _PHASE = "convergence-run"
     t0 = time.monotonic()
     result = trainer.run()
     wall = time.monotonic() - t0
@@ -163,41 +285,26 @@ def bench_convergence():
             break
     time_to_target = (sum(result.iter_times[:hit_iter])
                       if hit_iter else wall)
-    print(json.dumps({
-        "metric": "wall_clock_to_target_loglik_s",
-        "value": round(time_to_target, 2),
+    return {
+        "time_to_target_s": round(time_to_target, 2),
         "unit": (f"s to within 1e-3 of best held-out loglik {best:.4f} "
                  f"(3-lambda path, {nblocks * rows} rows x {n_features} "
                  f"features, {jax.devices()[0].platform})"),
         "vs_baseline": round((30.0 * (hit_iter or result.iterations))
                              / max(time_to_target, 1e-9), 1),
-        "detail": {"hit_iter": hit_iter, "iterations": result.iterations,
-                   "best_loglik": best, "total_wall_s": round(wall, 2),
-                   "iter_times_s": [round(t, 3) for t in result.iter_times]},
-    }))
+        "hit_iter": hit_iter, "iterations": result.iterations,
+        "best_loglik": round(best, 5), "total_wall_s": round(wall, 2),
+        "iter_times_s": [round(t, 3) for t in result.iter_times],
+    }
 
 
-def main():
+def bench_admm():
+    """Default mode: steady-state iterations/s of the full jitted ADMM step,
+    with roofline accounting, then a convergence run folded into detail."""
+    global _RESULT, _PHASE
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: the heavy while-loop program compiles in
-    # 2-5 min on the tunneled chip; cache hits make reruns near-instant
-    try:
-        cache_dir = os.environ.get("MLEASE_JAX_CACHE",
-                                   "/root/repo/.jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-
-    mode = os.environ.get("BENCH_MODE", "admm")
-    if mode == "item":
-        return bench_item_models()
-    if mode == "convergence":
-        return bench_convergence()
-
-    from mlease_tpu.core.vocab import FeatureVocab
     from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
 
     n_features = int(os.environ.get("BENCH_FEATURES", 50_000))
@@ -207,20 +314,18 @@ def main():
     n_lambdas = int(os.environ.get("BENCH_LAMBDAS", 3))
     iters = int(os.environ.get("BENCH_ITERS", 4))
 
+    _PHASE = "datagen"
     data, _w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
-
-    # lightweight vocab stand-in: only intercept_index is used by the trainer
-    vocab = FeatureVocab.__new__(FeatureVocab)
-    vocab._index = {}
-    vocab._names = [f"f{i}" for i in range(n_features)] + ["(INTERCEPT)"]
-    vocab._frozen = True
-    vocab.has_intercept = True
+    vocab = _make_vocab(n_features)
 
     lambdas = [1.0, 10.0, 100.0][:n_lambdas]
+    head_dtype = (jnp.bfloat16 if os.environ.get("BENCH_HEAD_BF16") == "1"
+                  else None)
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
                      dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
                      head_size=int(os.environ.get("BENCH_HEAD", "512")),
                      pcg=bool(int(os.environ.get("BENCH_PCG", "1"))),
+                     head_dtype=head_dtype,
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
 
@@ -238,50 +343,122 @@ def main():
                             trainer.block_valid, z, u, lam_vec, rho_eff,
                             rho_eff, eps)
 
+    def trips(stats):
+        nt = int(np.asarray(stats["newton_trips"]).max())
+        cg = int(np.asarray(stats["cg_trips"]).max())
+        return nt, cg
+
     # NOTE: timings force a host fetch of the per-iteration diffs —
     # block_until_ready alone does not reliably wait on the tunneled axon
     # platform, so device->host transfer is the only honest barrier.
+    _PHASE = "compile"
     t0 = time.monotonic()
-    z, u, d = step(z, u)
+    z, u, d, stats = step(z, u)
     np.asarray(d)
     compile_time = time.monotonic() - t0  # includes the first (cold) solve
 
     # cold iteration (z=u=0, full-depth TRON solves)
     z = jnp.zeros((L, n), jnp.float32)
     u = jnp.zeros((L, data.nblocks, n), jnp.float32)
+    _PHASE = "cold-iter"
     t0 = time.monotonic()
-    z, u, d = step(z, u)
+    z, u, d, stats = step(z, u)
     np.asarray(d)
     cold_iter = time.monotonic() - t0
+    nt_cold, cg_cold = trips(stats)
+
+    rows_total = nblocks * rows
+    unit = (f"iter/s ({n_lambdas}-lambda path, {rows_total} rows x "
+            f"{n_features} features, {nblocks} blocks, "
+            f"{jax.devices()[0].platform})")
+    head_bytes = 2 if head_dtype is not None else 4
+    # first checkpointed result: cold-iteration throughput (the watchdog can
+    # print this if the steady loop never finishes)
+    _RESULT = {
+        "metric": "admm_iterations_per_s",
+        "value": round(1.0 / cold_iter, 4),
+        "unit": unit + " [cold only]",
+        "vs_baseline": round(30.0 / cold_iter, 1),
+        "detail": {"compile_s": round(compile_time, 2),
+                   "cold_iter_s": round(cold_iter, 3), "phase": "cold"},
+    }
 
     # steady state: warm-started iterations (the regime of a 10-20 iteration
     # ADMM run)
+    _PHASE = "steady"
+    nt_total = cg_total = 0
     t0 = time.monotonic()
     for _ in range(iters):
-        z, u, d = step(z, u)
+        z, u, d, stats = step(z, u)
+        nt, cg = trips(stats)
+        nt_total += nt
+        cg_total += cg
     np.asarray(d)
     elapsed = time.monotonic() - t0
     iters_per_s = iters / elapsed
+    steady_iter_s = elapsed / iters
 
-    rows_total = nblocks * rows
-    result = {
+    # data passes per ADMM iteration (see ops/tron_multi.py): fixed setup
+    # (grad@0 2, fun+grad@W0 3, Jacobi diag 1) + 4/Newton trip + 2/CG trip
+    passes = (6.0 + 4.0 * nt_total / iters + 2.0 * cg_total / iters)
+    roof = _roofline(trainer.data, n_lambdas, head_bytes, passes,
+                     steady_iter_s)
+
+    _RESULT = {
         "metric": "admm_iterations_per_s",
         "value": round(iters_per_s, 4),
-        "unit": f"iter/s ({n_lambdas}-lambda path, {rows_total} rows x "
-                f"{n_features} features, {nblocks} blocks, "
-                f"{jax.devices()[0].platform})",
+        "unit": unit,
         "vs_baseline": round(iters_per_s * 30.0, 1),
         "detail": {
             "compile_s": round(compile_time, 2),
             "cold_iter_s": round(cold_iter, 3),
-            "steady_iter_s": round(elapsed / iters, 4),
+            "steady_iter_s": round(steady_iter_s, 4),
             "head_size": cfg.head_size,
             "multi_rhs": cfg.multi_rhs,
+            "newton_trips_per_iter": round(nt_total / iters, 1),
+            "cg_trips_per_iter": round(cg_total / iters, 1),
+            "roofline": roof,
             "maxdiff_last": float(np.asarray(d).max()),
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+
+    # fold the convergence headline in (reuses the already-compiled step)
+    if os.environ.get("BENCH_SKIP_CONV") != "1":
+        try:
+            _RESULT["detail"]["convergence"] = _run_convergence(trainer)
+        except Exception as e:  # noqa: BLE001 — keep the steady result
+            _RESULT["detail"]["convergence"] = {"error": repr(e)}
+    _emit(_RESULT)
+
+
+def main():
+    global _PHASE
+    import jax
+
+    # watchdog: never leave the driver without a parseable line
+    deadline = float(os.environ.get("BENCH_DEADLINE", 240))
+    if hasattr(signal, "SIGALRM") and deadline > 0:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(int(deadline))
+
+    # persistent compilation cache: the heavy while-loop program compiles in
+    # ~16 s cold on the tunneled chip (with occasional multi-minute outliers —
+    # the round-1 failure); the repo ships a warm cache for the default shapes
+    try:
+        cache_dir = os.environ.get("MLEASE_JAX_CACHE",
+                                   "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    mode = os.environ.get("BENCH_MODE", "admm")
+    if mode == "item":
+        return bench_item_models()
+    if mode == "convergence":
+        return bench_convergence()
+    return bench_admm()
 
 
 if __name__ == "__main__":

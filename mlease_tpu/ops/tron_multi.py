@@ -141,8 +141,13 @@ class MultiTronResult(NamedTuple):
     w: jax.Array             # (n, L)
     f: jax.Array             # (L,)
     gnorm: jax.Array         # (L,)
-    iterations: jax.Array    # (L,)
+    iterations: jax.Array    # (L,) accepted Newton steps per lane
     converged: jax.Array     # (L,)
+    # lock-step loop-trip counters — the honest cost model: every trip is a
+    # full pass over the block's data serving all L lanes, regardless of how
+    # many lanes are still active (used by bench.py's roofline accounting)
+    newton_trips: jax.Array = jnp.int32(0)  # outer while_loop body executions
+    cg_trips: jax.Array = jnp.int32(0)      # total CG body executions (1 Hv each)
 
 
 def _dot(a, b):
@@ -228,9 +233,9 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
 
     init = (zero, -G, z0, z0, _dot(-G, z0), jnp.asarray(0, jnp.int32),
             jnp.zeros(G.shape[1], bool))
-    s, r, _z, _d, _rz, _it, _done = jax.lax.while_loop(cond, body, init)
+    s, r, _z, _d, _rz, it, _done = jax.lax.while_loop(cond, body, init)
     snorm = jnp.sqrt(jnp.maximum(mdot(s, s), 0.0))
-    return s, r, snorm
+    return s, r, snorm, it
 
 
 @partial(jax.jit, static_argnames=("max_iter", "max_cg_iter", "precondition"))
@@ -269,14 +274,14 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     stall_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
 
     def cond(state):
-        W, F, G, Dm, delta, gnorm, it, active = state
+        W, F, G, Dm, delta, gnorm, it, active, trips, cg_trips = state
         return jnp.any(jnp.logical_and(active, it <= max_iter))
 
     def body(state):
-        W, F, G, Dm, delta, gnorm, it, active = state
+        W, F, G, Dm, delta, gnorm, it, active, trips, cg_trips = state
 
         M = make_M(Dm)
-        S, Rres, snorm = _trcg(prob, Dm, G, delta, max_cg_iter, M)
+        S, Rres, snorm, cg_it = _trcg(prob, Dm, G, delta, max_cg_iter, M)
         W_new = W + S
         gs = _dot(G, S)
         prered = -0.5 * (gs - _dot(S, Rres))
@@ -322,12 +327,14 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
                             jnp.abs(prered) <= stall_rtol * jnp.abs(F_out)))
         done = jnp.logical_and(done, active)  # frozen lanes keep their state
         return (W_out, F_out, G_out, Dm_out, delta_new, gnorm_out, it_out,
-                jnp.logical_and(active, ~done))
+                jnp.logical_and(active, ~done), trips + 1, cg_trips + cg_it)
 
     active0 = gnorm > eps * gnorm1
     init = (W0, F, G, Dm, delta, gnorm,
-            jnp.ones(L, jnp.int32), active0)
-    W, F, G, Dm, delta, gnorm, it, _active = jax.lax.while_loop(
-        cond, body, init)
+            jnp.ones(L, jnp.int32), active0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    W, F, G, Dm, delta, gnorm, it, _active, trips, cg_trips = \
+        jax.lax.while_loop(cond, body, init)
     return MultiTronResult(w=W, f=F, gnorm=gnorm, iterations=it - 1,
-                           converged=gnorm <= eps * gnorm1)
+                           converged=gnorm <= eps * gnorm1,
+                           newton_trips=trips, cg_trips=cg_trips)

@@ -113,6 +113,9 @@ class AdmmResult:
     converged: bool
     wall_time: float = 0.0
     iter_times: list[float] = field(default_factory=list)  # seconds/iteration
+    solver_stats: list[dict] = field(default_factory=list)  # per-iteration
+    # {"newton_trips": int, "cg_trips": int} lock-step loop-trip maxima
+    # (cost-model inputs for roofline accounting; see build_admm_step)
 
 
 def _lambda_key(lam: float) -> str:
@@ -162,7 +165,10 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
             present (B,n) bool; with dual_layout also csc (cols,rows,vals)
             each (B,R*K)
       z (L,n), u (L,B,n), lam_vec (L,n), rho_eff (L,), eps (B,)
-    Returns (z_new, u_new, diffs (L,)).
+    Returns (z_new, u_new, diffs (L,), stats) where stats maps
+    "newton_trips"/"cg_trips" to per-problem lock-step loop-trip counters
+    (the cost model bench.py's roofline accounting consumes — every trip is
+    one full pass over the data for all lanes riding the batched loop).
     """
 
     solver = partial(tron, max_iter=max_newton_iter, max_cg_iter=max_cg_iter)
@@ -179,7 +185,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                              head_x=head_x, head_ids=head_ids,
                              tail_rows=t_rows, tail_cols=t_cols,
                              tail_vals=t_vals)
-        return solver(prob, w0, eps).w
+        res = solver(prob, w0, eps)
+        return res.w, res.iterations, res.cg_iterations
 
     # inner vmap over blocks: data + prior_mean + eps batched, w0/prior_var
     # shared; outer vmap over lambdas: data shared (no duplication in HBM),
@@ -209,8 +216,9 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                                 head_x=head_x, head_ids=head_ids,
                                 tail_rows=t_rows, tail_cols=t_cols,
                                 tail_vals=t_vals)
-            return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
-                              max_cg_iter=max_cg_iter, precondition=pcg).w
+            res = tron_multi(prob, W0, eps, max_iter=max_newton_iter,
+                             max_cg_iter=max_cg_iter, precondition=pcg)
+            return res.w, res.newton_trips, res.cg_trips
 
         solve_multi = jax.vmap(solve_block_multi,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
@@ -230,13 +238,15 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         if multi_rhs:
             # lambda path as trailing column axis: one data pass serves all
             # lambdas (see ops/tron_multi.py)
-            x_T = solve_multi(indices, values, y, weight, offset, head,
-                              prior_mean.transpose(1, 2, 0),   # (B,n,L)
-                              prior_var_inv.T, z.T, eps)
+            x_T, nt, cg = solve_multi(indices, values, y, weight, offset, head,
+                                      prior_mean.transpose(1, 2, 0),  # (B,n,L)
+                                      prior_var_inv.T, z.T, eps)
             x = x_T.transpose(2, 0, 1)                         # (L,B,n)
         else:
-            x = solve_grid(indices, values, y, weight, offset, csc, head,
-                           prior_mean, prior_var_inv, z, eps)  # (L,B,n)
+            x, nt, cg = solve_grid(indices, values, y, weight, offset, csc,
+                                   head, prior_mean, prior_var_inv, z,
+                                   eps)                        # (L,B,n)
+        stats = {"newton_trips": nt, "cg_trips": cg}
         # absent-feature exactness: features with no data in block b solve to
         # the prior mean z - u_b (LibLinear.java:373-397)
         x = jnp.where(present[None, :, :], x, prior_mean)
@@ -266,7 +276,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         z_new = jax.vmap(zup)(v, lam_vec, rho_base)
         u_new = admm_math.u_update(u, x, z_new[:, None, :]) * bv
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
-        return z_new, u_new, diffs
+        return z_new, u_new, diffs, stats
 
     return jax.jit(step, donate_argnums=(10,))
 
@@ -447,6 +457,7 @@ class AdmmTrainer:
         loglik_history: list[dict] = []
         diff_history: list[dict[str, float]] = []
         iter_times: list[float] = []
+        solver_stats: list[dict] = []
         converged = False
         t_start = time.monotonic()
 
@@ -472,13 +483,17 @@ class AdmmTrainer:
             rho_base = jnp.asarray(self.rhos, dtype)
             eps = inner_eps * self.eps_scale
 
-            z, u, diffs = self.step(self.indices, self.values, self.y,
-                                    self.weight, self.offset, self.csc,
-                                    self.head, self.present,
-                                    self.block_valid, z, u,
-                                    self.lam_vec, rho_eff, rho_base, eps)
+            z, u, diffs, stats = self.step(
+                self.indices, self.values, self.y,
+                self.weight, self.offset, self.csc,
+                self.head, self.present,
+                self.block_valid, z, u,
+                self.lam_vec, rho_eff, rho_base, eps)
             diffs_np = np.asarray(diffs, np.float64)  # also a host sync point
             iter_times.append(time.monotonic() - t_iter)
+            solver_stats.append({
+                "newton_trips": int(np.asarray(stats["newton_trips"]).max()),
+                "cg_trips": int(np.asarray(stats["cg_trips"]).max())})
             mindiff = float(diffs_np.min())
             maxdiff = float(diffs_np.max())
             diff_history.append({_lambda_key(l): float(d)
@@ -521,6 +536,6 @@ class AdmmTrainer:
             models=models, best_model=best_model, best_lambda=best_lambda,
             best_loglik=best_loglik, iterations=iteration,
             sample_loglik_history=loglik_history, diff_history=diff_history,
-            iter_times=iter_times,
+            iter_times=iter_times, solver_stats=solver_stats,
             z=z_np, u=np.asarray(u, np.float64)[:, :self.nblocks],
             converged=converged, wall_time=time.monotonic() - t_start)

@@ -82,7 +82,7 @@ csc = (None, None, None)
 head = (None, None, None, None, None)
 
 for _ in range(4):
-    z, u, diffs = step(global_arrays["indices"], global_arrays["values"],
+    z, u, diffs, _stats = step(global_arrays["indices"], global_arrays["values"],
                        global_arrays["y"], global_arrays["weight"],
                        global_arrays["offset"], csc, head,
                        global_arrays["present"], block_valid, z, u,
