@@ -118,6 +118,7 @@ def cmd_item(args):
     from mlease_tpu.core.prepare import prepare_to_keyed
     from mlease_tpu.io import avro
     from mlease_tpu.train.item import (ItemConfig, train_item_models,
+                                       train_item_models_columnar,
                                        write_item_models)
     from mlease_tpu.train.pipeline import read_lambda_map
 
@@ -125,19 +126,21 @@ def cmd_item(args):
     item_key = config.get_string("item.key")
     ignore_value = config.get_boolean("binary.feature", False)
     keyed = None
+    decoded = None
     if config.get_boolean("native.ingest", True):
         from mlease_tpu.io import fast_decode
         if fast_decode.is_available():
             try:
-                from mlease_tpu.core.ingest import load_keyed_rows
-                keyed = load_keyed_rows(
+                from mlease_tpu.core.ingest import (decode_files_parallel,
+                                                    merge_decoded)
+                decoded = merge_decoded(decode_files_parallel(
                     avro.enumerate_avro_files(config.get_string("input.paths")),
-                    item_key, ignore_value=ignore_value)
-                if set(keyed) == {""}:
-                    keyed = None  # non-string key column: python path
+                    ignore_value=ignore_value, map_key=item_key))
+                if decoded.keys is None or set(decoded.keys) == {""}:
+                    decoded = None  # non-string key column: python path
             except Exception:
-                keyed = None
-    if keyed is None:
+                decoded = None
+    if decoded is None:
         records = avro.read_records(config.get_string("input.paths"))
         keyed = prepare_to_keyed(records, map_key=item_key,
                                  ignore_value=ignore_value)
@@ -161,7 +164,10 @@ def cmd_item(args):
         compute_var=config.get_boolean("compute.var", False),
         liblinear_epsilon=config.get_float("liblinear.epsilon", 0.01),
         dtype=_dtype(config))
-    result = train_item_models(keyed, cfg)
+    if decoded is not None:
+        result = train_item_models_columnar(decoded, cfg)
+    else:
+        result = train_item_models(keyed, cfg)
     out = os.path.join(config.get_string("output.model.path"),
                        "part-r-00000.avro")
     write_item_models(out, result)
@@ -351,6 +357,8 @@ def main(argv=None):
     logging.basicConfig(
         level=os.environ.get("MLEASE_LOG", "INFO"),
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    from mlease_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="mlease_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("train", cmd_train), ("naive", cmd_naive),

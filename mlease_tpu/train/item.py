@@ -83,6 +83,18 @@ def _bucket_dim(x: int, floor: int = 8) -> int:
     return n
 
 
+def _bucket_dim_15(x: int, floor: int = 8) -> int:
+    """Next size in the {2^k, 1.5*2^k} ladder (>= floor): finer bucketing for
+    the item axis, where padding costs real solve FLOPs (<= 33% waste) but an
+    exact-shape miss costs a full solver compile."""
+    n = floor
+    while n < x:
+        if (n + (n >> 1)) >= x:
+            return n + (n >> 1)
+        n <<= 1
+    return n
+
+
 def _pack_local(rows, lambda_map):
     """One item's rows -> local coords. Returns (names, indices, values, y,
     weight, offset, map_mask, map_vals) with intercept at local index 0."""
@@ -102,14 +114,14 @@ def _pack_local(rows, lambda_map):
     return names, index, parsed
 
 
-def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
-                      config: ItemConfig) -> ItemResult:
-    cfg = config
-    dtype = cfg.dtype
+def _pack_buckets_rows(keyed_rows: Mapping[str, Sequence[Mapping]],
+                       cfg: ItemConfig):
+    """Canonical-row-dict packing (per-record Python; the columnar path
+    below is the scalable one). Yields the packed-bucket structures
+    consumed by _train_packed."""
     lambda_map = dict(cfg.lambda_map or {})
     pm_map = dict(cfg.intercept_prior_mean_map or {})
 
-    # -- host: local packing + shape bucketing ---------------------------
     items = []
     for key in sorted(keyed_rows):
         rows = keyed_rows[key]
@@ -124,6 +136,239 @@ def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
     buckets: dict[tuple[int, int, int], list] = {}
     for it in items:
         buckets.setdefault((it[4], it[5], it[6]), []).append(it)
+
+    packed = []
+    for (R, K, F), bucket in sorted(buckets.items()):
+        I = len(bucket)
+        indices = np.zeros((I, R, K), np.int32)
+        values = np.zeros((I, R, K), np.float32)
+        y = np.ones((I, R), np.float32)
+        weight = np.zeros((I, R), np.float32)
+        offset = np.zeros((I, R), np.float32)
+        prior_mean = np.zeros((I, F), np.float64)
+        map_mask = np.zeros((I, F), bool)
+        map_pvi = np.ones((I, F), np.float64)
+        pad_mask = np.zeros((I, F), bool)
+        nrows = np.zeros(I, np.int32)
+        meta = []
+
+        for i, (key, rows, names, parsed, *_shape) in enumerate(bucket):
+            for r, acc in enumerate(parsed):
+                cols = list(acc.keys())
+                indices[i, r, :len(cols)] = cols
+                values[i, r, :len(cols)] = [acc[c] for c in cols]
+                y[i, r] = 1.0 if rows[r]["response"] == 1 else -1.0
+                w_ = rows[r].get("weight", 1.0)
+                weight[i, r] = (w_ * cfg.positive_weight
+                                if (y[i, r] == 1 and cfg.positive_weight != 1.0)
+                                else w_)
+                offset[i, r] = rows[r].get("offset", 0.0)
+            nrows[i] = len(rows)
+            prior_mean[i, 0] = pm_map.get(key, cfg.intercept_default_prior_mean)
+            for f, name in enumerate(names):
+                if f > 0 and name in lambda_map:
+                    map_mask[i, f] = True
+                    map_pvi[i, f] = lambda_map[name]
+            pad_mask[i, len(names):] = True
+            meta.append((key, names))
+
+        packed.append(((R, K, F),
+                       dict(indices=indices, values=values, y=y,
+                            weight=weight, offset=offset,
+                            prior_mean=prior_mean, map_mask=map_mask,
+                            map_pvi=map_pvi, pad_mask=pad_mask, nrows=nrows),
+                       meta))
+    return packed
+
+
+def pack_buckets_columnar(decoded, cfg: ItemConfig):
+    """Vectorized per-item packing straight from a columnar decode
+    (io.fast_decode.DecodedRows with keys = the item-key column): grouping,
+    local-coordinate assignment, in-row duplicate combining, shape bucketing
+    and the padded array fill are all numpy array ops — no per-record Python
+    (the reference's per-reducer dataset build, ItemModelTrain.java:219-238,
+    at native speed)."""
+    if decoded.keys is None:
+        raise ValueError("decode was not run with the item key column")
+    lambda_map = dict(cfg.lambda_map or {})
+    pm_map = dict(cfg.intercept_prior_mean_map or {})
+
+    keys_arr = np.asarray(decoded.keys, dtype=object)
+    uniq_keys, item_of_row = np.unique(keys_arr.astype(str),
+                                       return_inverse=True)
+    N = len(item_of_row)
+    n_items = len(uniq_keys)
+    rows_per_item = np.bincount(item_of_row, minlength=n_items)
+
+    # row slot within its item, preserving original row order
+    row_order = np.argsort(item_of_row, kind="stable")
+    slot = np.empty(N, np.int64)
+    item_starts = np.searchsorted(item_of_row[row_order],
+                                  np.arange(n_items + 1))
+    slot[row_order] = (np.arange(N, dtype=np.int64)
+                       - item_starts[item_of_row[row_order]])
+
+    rs = decoded.row_start
+    nnz_per_row = (rs[1:] - rs[:-1]).astype(np.int64)
+    row_of_nnz = np.repeat(np.arange(N, dtype=np.int64), nnz_per_row)
+    feat = decoded.feat_id[: rs[-1]].astype(np.int64)
+    vals = decoded.feat_val[: rs[-1]].astype(np.float64)
+
+    # combine duplicate features within a row (LibLinearDataset combines
+    # repeated nameterm entries additively)
+    ord2 = np.lexsort((feat, row_of_nnz))
+    r_s, f_s, v_s = row_of_nnz[ord2], feat[ord2], vals[ord2]
+    if len(r_s):
+        new_g = np.empty(len(r_s), bool)
+        new_g[0] = True
+        new_g[1:] = (r_s[1:] != r_s[:-1]) | (f_s[1:] != f_s[:-1])
+        gid = np.cumsum(new_g) - 1
+        n_groups = int(gid[-1]) + 1
+        val_g = np.zeros(n_groups, np.float64)
+        np.add.at(val_g, gid, v_s)
+        row_g = r_s[new_g]
+        feat_g = f_s[new_g]
+    else:
+        row_g = feat_g = np.zeros(0, np.int64)
+        val_g = np.zeros(0, np.float64)
+    item_g = item_of_row[row_g]
+
+    # unique (item, global-feature) pairs -> local ids 1..F_i-1 (0=intercept)
+    V = max(len(decoded.vocab_names), 1)
+    pair_key = item_g * V + feat_g
+    uniq_pairs, pair_inv = np.unique(pair_key, return_inverse=True)
+    pair_item = (uniq_pairs // V).astype(np.int64)
+    pair_feat = (uniq_pairs % V).astype(np.int64)
+    pair_item_start = np.searchsorted(pair_item, np.arange(n_items + 1))
+    local_of_group = 1 + (pair_inv
+                          - pair_item_start[item_g]).astype(np.int64)
+    nfeat_per_item = 1 + np.diff(pair_item_start)
+
+    # k slot within the row (0 = intercept), via group rank within row
+    if len(row_g):
+        row_change = np.empty(len(row_g), bool)
+        row_change[0] = True
+        row_change[1:] = row_g[1:] != row_g[:-1]
+        row_start_pos = np.flatnonzero(row_change)
+        kpos = (np.arange(len(row_g), dtype=np.int64)
+                - np.repeat(row_start_pos, np.diff(
+                    np.append(row_start_pos, len(row_g)))) + 1)
+        distinct_per_row = np.bincount(row_g, minlength=N)
+    else:
+        kpos = np.zeros(0, np.int64)
+        distinct_per_row = np.zeros(N, np.int64)
+
+    kmax_per_item = np.ones(n_items, np.int64)
+    np.maximum.at(kmax_per_item, item_of_row, 1 + distinct_per_row)
+
+    # per-global-feature lambda.map vector (built once, O(V))
+    lam_of_global = np.full(V, np.nan)
+    if lambda_map:
+        name_to_gid = {n: i for i, n in enumerate(decoded.vocab_names)}
+        for gname, lam in lambda_map.items():
+            gi = name_to_gid.get(gname)
+            if gi is not None:
+                lam_of_global[gi] = lam
+
+    buck = lambda x: _bucket_dim(int(x))  # noqa: E731
+    R_i = np.asarray([buck(r) for r in rows_per_item], np.int64)
+    K_i = np.asarray([buck(k) for k in kmax_per_item], np.int64)
+    F_i = np.asarray([buck(f) for f in nfeat_per_item], np.int64)
+    shape_key = (R_i << 42) | (K_i << 21) | F_i
+    uniq_shapes, shape_inv = np.unique(shape_key, return_inverse=True)
+
+    names_global = decoded.vocab_names
+    resp = decoded.response
+    w_in = decoded.weight.astype(np.float64)
+    off_in = decoded.offset.astype(np.float64)
+    y_all = np.where(resp == 1, 1.0, -1.0)
+    if cfg.positive_weight != 1.0:
+        w_in = np.where(resp == 1, w_in * cfg.positive_weight, w_in)
+
+    packed = []
+    for s_i, skey in enumerate(uniq_shapes):
+        R = int(skey >> 42)
+        K = int((skey >> 21) & ((1 << 21) - 1))
+        F = int(skey & ((1 << 21) - 1))
+        members = np.flatnonzero(shape_inv == s_i)          # item ids
+        I = len(members)
+        local_item = np.full(n_items, -1, np.int64)
+        local_item[members] = np.arange(I)
+
+        indices = np.zeros((I, R, K), np.int32)
+        values = np.zeros((I, R, K), np.float32)
+        y = np.ones((I, R), np.float32)
+        weight = np.zeros((I, R), np.float32)
+        offset = np.zeros((I, R), np.float32)
+        prior_mean = np.zeros((I, F), np.float64)
+        map_mask = np.zeros((I, F), bool)
+        map_pvi = np.ones((I, F), np.float64)
+        nrows = rows_per_item[members].astype(np.int32)
+        pad_mask = (np.arange(F)[None, :]
+                    >= nfeat_per_item[members][:, None])
+
+        # rows of member items
+        rmask = local_item[item_of_row] >= 0
+        ri = local_item[item_of_row[rmask]]
+        rsl = slot[rmask]
+        y[ri, rsl] = y_all[rmask]
+        weight[ri, rsl] = w_in[rmask]
+        offset[ri, rsl] = off_in[rmask]
+        # intercept slot k=0, local col 0, value 1
+        values[ri, rsl, 0] = 1.0
+
+        # nonzero groups of member items
+        gmask = local_item[item_g] >= 0
+        gi_ = local_item[item_g[gmask]]
+        indices[gi_, slot[row_g[gmask]], kpos[gmask]] = \
+            local_of_group[gmask].astype(np.int32)
+        values[gi_, slot[row_g[gmask]], kpos[gmask]] = \
+            val_g[gmask].astype(np.float32)
+
+        # per-(item, local-feature) lambda.map entries
+        pmask = local_item[pair_item] >= 0
+        pi = local_item[pair_item[pmask]]
+        plocal = 1 + (np.arange(len(pair_item), dtype=np.int64)
+                      - pair_item_start[pair_item])[pmask]
+        plam = lam_of_global[pair_feat[pmask]]
+        has = ~np.isnan(plam)
+        map_mask[pi[has], plocal[has]] = True
+        map_pvi[pi[has], plocal[has]] = plam[has]
+
+        meta = []
+        for i, it in enumerate(members):
+            key = str(uniq_keys[it])
+            lo, hi = pair_item_start[it], pair_item_start[it + 1]
+            names = [INTERCEPT_NAME] + [names_global[g]
+                                        for g in pair_feat[lo:hi]]
+            prior_mean[i, 0] = pm_map.get(key,
+                                          cfg.intercept_default_prior_mean)
+            meta.append((key, names))
+
+        packed.append(((R, K, F),
+                       dict(indices=indices, values=values, y=y,
+                            weight=weight, offset=offset,
+                            prior_mean=prior_mean, map_mask=map_mask,
+                            map_pvi=map_pvi, pad_mask=pad_mask, nrows=nrows),
+                       meta))
+    return packed
+
+
+def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
+                      config: ItemConfig) -> ItemResult:
+    return _train_packed(_pack_buckets_rows(keyed_rows, config), config)
+
+
+def train_item_models_columnar(decoded, config: ItemConfig) -> ItemResult:
+    """Per-item training straight from a columnar decode — the production
+    ingest path (see pack_buckets_columnar)."""
+    return _train_packed(pack_buckets_columnar(decoded, config), config)
+
+
+def _train_packed(packed, config: ItemConfig) -> ItemResult:
+    cfg = config
+    dtype = cfg.dtype
+    lambda_map = dict(cfg.lambda_map or {})
 
     grid = [(il, dl) for il in cfg.intercept_lambdas
             for dl in cfg.default_lambdas]
@@ -180,52 +425,35 @@ def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
     posterior: dict[str, LinearModel] = {}
     covs: dict[str, dict] = {} if (cfg.compute_var and cfg.full_cov) else None
 
-    for (R, K, F), bucket in sorted(buckets.items()):
-        I = len(bucket)
-        indices = np.zeros((I, R, K), np.int32)
-        values = np.zeros((I, R, K), np.float32)
-        y = np.ones((I, R), np.float32)
-        weight = np.zeros((I, R), np.float32)
-        offset = np.zeros((I, R), np.float32)
-        prior_mean = np.zeros((I, F), np.float64)
-        map_mask = np.zeros((I, F), bool)
-        map_pvi = np.ones((I, F), np.float64)
-        pad_mask = np.zeros((I, F), bool)
-        nrows = np.zeros(I, np.int32)
-
-        for i, (key, rows, names, parsed, *_shape) in enumerate(bucket):
-            for r, acc in enumerate(parsed):
-                cols = list(acc.keys())
-                indices[i, r, :len(cols)] = cols
-                values[i, r, :len(cols)] = [acc[c] for c in cols]
-                y[i, r] = 1.0 if rows[r]["response"] == 1 else -1.0
-                w_ = rows[r].get("weight", 1.0)
-                weight[i, r] = (w_ * cfg.positive_weight
-                                if (y[i, r] == 1 and cfg.positive_weight != 1.0)
-                                else w_)
-                offset[i, r] = rows[r].get("offset", 0.0)
-            nrows[i] = len(rows)
-            prior_mean[i, 0] = pm_map.get(key, cfg.intercept_default_prior_mean)
-            for f, name in enumerate(names):
-                if f > 0 and name in lambda_map:
-                    map_mask[i, f] = True
-                    map_pvi[i, f] = lambda_map[name]
-            pad_mask[i, len(names):] = True
-
-        eps = cfg.liblinear_epsilon * obj.class_balance_eps_scale(y, nrows)
+    for (R, K, F), arrs, meta in packed:
+        # pad the item axis to a bucketed size so the compiled solver is
+        # reused across runs with different item counts (the compile of a
+        # large vmapped bucket dwarfs its solve on the tunneled TPU); padding
+        # lanes are copies of item 0 — real, solvable, discarded at assembly
+        I = len(meta)
+        I_pad = _bucket_dim_15(I)
+        if I_pad > I:
+            arrs = {k: np.concatenate(
+                [v, np.broadcast_to(v[:1], (I_pad - I,) + v.shape[1:])])
+                for k, v in arrs.items()}
+        eps = cfg.liblinear_epsilon * obj.class_balance_eps_scale(
+            arrs["y"], arrs["nrows"])
         fn = solve_bucket_fn(F)
         w, pvar, cov = fn(
-            jnp.asarray(indices), jnp.asarray(values, dtype),
-            jnp.asarray(y, dtype), jnp.asarray(weight, dtype),
-            jnp.asarray(offset, dtype), jnp.asarray(prior_mean, dtype),
-            jnp.asarray(map_mask), jnp.asarray(map_pvi, dtype),
-            jnp.asarray(pad_mask), jnp.asarray(eps, dtype), il_arr, dl_arr)
+            jnp.asarray(arrs["indices"]), jnp.asarray(arrs["values"], dtype),
+            jnp.asarray(arrs["y"], dtype), jnp.asarray(arrs["weight"], dtype),
+            jnp.asarray(arrs["offset"], dtype),
+            jnp.asarray(arrs["prior_mean"], dtype),
+            jnp.asarray(arrs["map_mask"]),
+            jnp.asarray(arrs["map_pvi"], dtype),
+            jnp.asarray(arrs["pad_mask"]), jnp.asarray(eps, dtype),
+            il_arr, dl_arr)
         w = np.asarray(w, np.float64)
         pvar = np.asarray(pvar, np.float64)
         cov = np.asarray(cov, np.float64)
 
         for g, (il, dl) in enumerate(grid):
-            for i, (key, rows, names, parsed, *_shape) in enumerate(bucket):
+            for i, (key, names) in enumerate(meta):
                 out_key = f"{_lambda_key(il)}:{_lambda_key(dl)}#{key}"
                 nf = len(names)
                 coeffs = {names[f]: w[g, i, f] for f in range(1, nf)}

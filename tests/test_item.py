@@ -143,3 +143,78 @@ def test_item_covariance_persistence(tmp_path):
     assert cov[0, 0] == pytest.approx(pv.intercept, rel=1e-4)
     for i, name in enumerate(names[1:], start=1):
         assert cov[i, i] == pytest.approx(pv.coefficients[name], rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# columnar packing parity: pack_buckets_columnar must produce models identical
+# to the per-record row-dict path for the same logical dataset
+def _decoded_from_keyed(keyed):
+    from mlease_tpu.io.fast_decode import DecodedRows
+
+    names, index = [], {}
+    response, weight, offset, keys = [], [], [], []
+    row_start = [0]
+    feat_id, feat_val = [], []
+    for key in keyed:
+        for row in keyed[key]:
+            keys.append(key)
+            response.append(row["response"])
+            weight.append(row.get("weight", 1.0))
+            offset.append(row.get("offset", 0.0))
+            for name, v in row["features"]:
+                gid = index.get(name)
+                if gid is None:
+                    gid = len(names)
+                    index[name] = gid
+                    names.append(name)
+                feat_id.append(gid)
+                feat_val.append(v)
+            row_start.append(len(feat_id))
+    return DecodedRows(
+        response=np.asarray(response, np.int32),
+        weight=np.asarray(weight, np.float32),
+        offset=np.asarray(offset, np.float32),
+        row_start=np.asarray(row_start, np.int64),
+        feat_id=np.asarray(feat_id, np.int32),
+        feat_val=np.asarray(feat_val, np.float32),
+        vocab_names=names, keys=keys)
+
+
+def test_item_columnar_parity():
+    from mlease_tpu.train.item import train_item_models_columnar
+
+    rng = np.random.default_rng(7)
+    keyed = {"a": synth_rows(rng, 60, n_feat=5),
+             "b": synth_rows(rng, 200, n_feat=9),
+             "c": synth_rows(rng, 17, n_feat=3),
+             "d": synth_rows(rng, 60, n_feat=5)}
+    # exercise in-row duplicate combining + weights/offsets + empty rows
+    keyed["a"][0]["features"].append(keyed["a"][0]["features"][0])
+    keyed["b"][3]["weight"] = 2.5
+    keyed["b"][4]["offset"] = -0.7
+    keyed["c"][2]["features"] = []
+
+    # tight inner tolerance: the two packings place features in different
+    # k-slots (same math, different fp summation order), so loosely-converged
+    # solves would differ by the convergence slack, not packing correctness
+    cfg = ItemConfig(intercept_lambdas=[0.5, 2.0], default_lambdas=[1.0],
+                     compute_var=True, lambda_map={"f1": 25.0},
+                     intercept_prior_mean_map={"b": 0.3},
+                     intercept_default_prior_mean=-0.1,
+                     positive_weight=1.5, liblinear_epsilon=1e-10,
+                     dtype=jnp.float64)
+    r_rows = train_item_models(keyed, cfg)
+    r_col = train_item_models_columnar(_decoded_from_keyed(keyed), cfg)
+
+    assert set(r_rows.models) == set(r_col.models)
+    for key, m in r_rows.models.items():
+        mc = r_col.models[key]
+        assert set(m.coefficients) == set(mc.coefficients)
+        assert np.isclose(m.intercept, mc.intercept, rtol=1e-7, atol=1e-10)
+        for name, v in m.coefficients.items():
+            assert np.isclose(v, mc.coefficients[name], rtol=1e-7,
+                              atol=1e-10), (key, name)
+        pv, pvc = r_rows.posterior_var[key], r_col.posterior_var[key]
+        assert np.isclose(pv.intercept, pvc.intercept, rtol=1e-6)
+        for name, v in pv.coefficients.items():
+            assert np.isclose(v, pvc.coefficients[name], rtol=1e-6), (key, name)
