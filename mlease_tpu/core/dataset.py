@@ -277,3 +277,30 @@ def partition_rows(rows: Iterable[Mapping], keys: Iterable[str],
                 f"Map key is wrong! key has to be in the range of [0,{nblocks - 1}].")
         out[k].append(row)
     return out
+
+
+def split_blocks(data: BlockedData, n_groups: int) -> list[BlockedData]:
+    """Split a packed dataset into n_groups block-axis groups for the
+    streaming (>HBM) trainer. Block-leading arrays slice; head_ids (shared
+    column ids) replicate. Groups cover all blocks in order."""
+    B = data.nblocks
+    n_groups = max(1, min(n_groups, B))
+    bounds = np.linspace(0, B, n_groups + 1).astype(int)
+
+    def sl(a, lo, hi):
+        return None if a is None else a[lo:hi]
+
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        out.append(BlockedData(
+            indices=data.indices[lo:hi], values=data.values[lo:hi],
+            y=data.y[lo:hi], weight=data.weight[lo:hi],
+            offset=data.offset[lo:hi], present=data.present[lo:hi],
+            nrows=data.nrows[lo:hi], nblocks=int(hi - lo), dim=data.dim,
+            head=sl(data.head, lo, hi), head_ids=data.head_ids,
+            tail_rows=sl(data.tail_rows, lo, hi),
+            tail_cols=sl(data.tail_cols, lo, hi),
+            tail_vals=sl(data.tail_vals, lo, hi)))
+    return out

@@ -216,6 +216,25 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             for l in cfg.lambdas])
 
     # ---- ADMM train ---------------------------------------------------
+    # streaming.groups > 1: the >HBM mode — blocks stay host-resident in N
+    # groups, transferred per iteration with double-buffered prefetch
+    # (train/streaming.py); checkpoint/resume applies to the in-memory
+    # trainer only
+    streaming_groups = config.get_int("streaming.groups", 0)
+    if streaming_groups > 1:
+        from mlease_tpu.core.dataset import split_blocks
+        from mlease_tpu.train.streaming import StreamingAdmmTrainer
+
+        s_trainer = StreamingAdmmTrainer(
+            split_blocks(data, streaming_groups), vocab, cfg,
+            test_rows=test_rows, mesh=mesh)
+        with_trace = config.get_string("profile.dir", "")
+        from mlease_tpu.utils.profiling import trace
+        with trace(with_trace):
+            result = s_trainer.run(z0=z0)
+        return _write_pipeline_outputs(config, result, out_base, test_path,
+                                       test_records, ignore_value)
+
     trainer = AdmmTrainer(data, vocab, cfg, test_rows=test_rows, mesh=mesh)
 
     ckpt_dir = os.path.join(out_base, "checkpoint")
@@ -260,8 +279,14 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     from mlease_tpu.utils.profiling import trace
     with trace(config.get_string("profile.dir", "")):
         result = trainer.run(callback=on_iteration, **run_kwargs)
+    return _write_pipeline_outputs(config, result, out_base, test_path,
+                                   test_records, ignore_value)
 
-    # ---- outputs ------------------------------------------------------
+
+def _write_pipeline_outputs(config, result, out_base, test_path,
+                            test_records, ignore_value) -> AdmmResult:
+    """final-model / sample-test-loglik / best-model files + the Test and
+    TestLoglik jobs (Regression.java:63-80)."""
     write_model_file(os.path.join(out_base, "final-model",
                                   "part-r-00000.avro"), result.models)
     if result.sample_loglik_history:
@@ -279,7 +304,6 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                          f"best-iteration-{result.iterations}.avro"),
             {result.best_lambda: result.best_model})
 
-    # ---- Test + TestLoglik (Regression.java:63-80) -------------------
     if test_records:
         with avro.AvroFileReader(avro.enumerate_avro_files(test_path)[0]) as r:
             input_schema = r.schema

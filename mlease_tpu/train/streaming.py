@@ -7,15 +7,23 @@ is the >HBM mode: blocks live in host RAM as packed groups, and each ADMM
 iteration runs
 
   phase 1: for each group g: transfer -> batched TRON x-update -> partial
-           consensus sums (x_g kept on host for the dual update)
+           consensus sums (x_g kept on host for the dual update); the NEXT
+           group's host->device transfer is issued right after the current
+           solve is dispatched, so PCIe rides under the solve (double
+           buffering — two groups resident at a time)
   phase 2: z-update from the accumulated xbar/ubar (host, O(L*n))
   phase 3: u_g += x_g - z per group (host numpy)
 
 Per-iteration host<->device traffic is the data groups themselves — the same
 volume per iteration the reference reads from HDFS, but over PCIe. The
 consensus math is shared bit-for-bit with the in-memory trainer
-(mlease_tpu.ops.admm_math), and results match it exactly (see
-tests/test_streaming.py).
+(mlease_tpu.ops.admm_math), and results match it exactly; warm start
+(initialize.boost.rate), per-iteration sample test loglik and best-model
+tracking follow RegressionAdmmTrain.java:236-280, 766-845 exactly as the
+in-memory trainer does (see tests/test_streaming.py).
+
+Deliberately unsupported here: the CSC dual layout (it doubles per-iteration
+PCIe traffic for a gather-path experiment that only pays off HBM-resident).
 """
 
 from __future__ import annotations
@@ -113,17 +121,33 @@ class StreamingAdmmTrainer:
     """
 
     def __init__(self, groups: Sequence[BlockedData], vocab,
-                 config: AdmmConfig):
+                 config: AdmmConfig, test_rows=None, mesh=None):
         if config.dual_layout:
-            raise NotImplementedError("dual layout in streaming mode")
+            raise NotImplementedError(
+                "dual layout in streaming mode: the CSC arrays double the "
+                "per-iteration PCIe transfer; use the HBM-resident trainer")
         if config.head_size > 0:
             from mlease_tpu.core.dataset import to_hybrid
             groups = [to_hybrid(g, config.head_size) if g.head is None else g
                       for g in groups]
+        # consensus divisor = real blocks only (padding masked below)
+        self.nblocks = sum(g.nblocks for g in groups)
+        self.real_nblocks = [g.nblocks for g in groups]
+        self.mesh = mesh
+        if mesh is not None:
+            from mlease_tpu.parallel.mesh import pad_blocks
+            padded, valids = [], []
+            for g in groups:
+                g2, bv = pad_blocks(g, mesh.devices.size)
+                padded.append(g2)
+                valids.append(bv)
+            groups = padded
+            self.block_valid = valids
+        else:
+            self.block_valid = [np.ones(g.nblocks) for g in groups]
         self.groups = list(groups)
         self.vocab = vocab
         self.config = config
-        self.nblocks = sum(g.nblocks for g in self.groups)
         self.dim = self.groups[0].dim
         self.lambdas = [float(l) for l in config.lambdas]
         self.rhos = config.resolved_rhos()
@@ -139,29 +163,89 @@ class StreamingAdmmTrainer:
                                          vocab)
             for l in self.lambdas])
 
-    def run(self) -> AdmmResult:
+        # sample-test loglik arrays (first MAX_NTEST_EVENTS rows), as in
+        # AdmmTrainer (RegressionAdmmTrain.java:122, 766-811)
+        self.test_arrays = None
+        if test_rows:
+            from mlease_tpu.core.dataset import pack_rows
+            from mlease_tpu.train.admm import (MAX_NTEST_EVENTS,
+                                               build_loglik_fn)
+            rows = list(test_rows)[:MAX_NTEST_EVENTS]
+            blk = pack_rows(rows, vocab)
+            dtype = config.dtype
+            self.test_arrays = (
+                jnp.asarray(blk.indices), jnp.asarray(blk.values, dtype),
+                jnp.asarray(blk.y, dtype), jnp.asarray(blk.weight, dtype),
+                jnp.asarray(blk.offset, dtype))
+            self.loglik_fn = build_loglik_fn()
+
+    def sample_loglik(self, z) -> np.ndarray:
+        idx, val, y, w, off = self.test_arrays
+        return np.asarray(self.loglik_fn(
+            idx, val, y, w, off, jnp.asarray(z, self.config.dtype)))
+
+    def _put_group(self, gi: int, dtype):
+        """Issue the host->device transfers for group gi (async: jax device
+        puts return immediately; the copies overlap the in-flight solve).
+        Under a mesh, arrays shard over the block axis; head_ids replicate."""
+        g = self.groups[gi]
+        if self.mesh is not None:
+            from mlease_tpu.parallel.mesh import block_sharding, replicated
+            bsh = block_sharding(self.mesh, 0)
+            rep = replicated(self.mesh)
+            put_b = lambda a, dt=None: jax.device_put(  # noqa: E731
+                np.asarray(a, dt) if dt else np.asarray(a), bsh)
+            put_r = lambda a: jax.device_put(np.asarray(a), rep)  # noqa: E731
+        else:
+            put_b = lambda a, dt=None: jnp.asarray(a, dt)  # noqa: E731
+            put_r = jnp.asarray
+        head = (None, None, None, None, None)
+        if self.use_head:
+            head = (put_b(g.head, dtype), put_r(g.head_ids),
+                    put_b(g.tail_rows), put_b(g.tail_cols),
+                    put_b(g.tail_vals, dtype))
+        return (put_b(g.indices), put_b(g.values, dtype),
+                put_b(g.y, dtype), put_b(g.weight, dtype),
+                put_b(g.offset, dtype), head, put_b(g.present))
+
+    def run(self, z0: np.ndarray | None = None) -> AdmmResult:
         cfg = self.config
         dtype = cfg.dtype
         L, n, N = len(self.lambdas), self.dim, self.nblocks
         if cfg.regularizer not in (1, 2):
             raise ValueError("Only L1 and L2 regularization supported!")
 
-        z = np.zeros((L, n))
+        z = (np.zeros((L, n)) if z0 is None
+             else np.broadcast_to(np.asarray(z0, np.float64), (L, n)).copy())
         u_groups = [np.zeros((L, g.nblocks, n)) for g in self.groups]
         inner_eps = cfg.liblinear_epsilon
         mindiff = 99999999.0
+        best_loglik = -9999999.0
+        best_model: LinearModel | None = None
+        best_lambda: str | None = None
+        loglik_history: list[dict] = []
         diff_history: list[dict] = []
+        iter_times: list[float] = []
         converged = False
         t_start = time.monotonic()
         iteration = 0
 
+        # iteration-0 loglik when warm-started (RegressionAdmmTrain.java:277-280)
+        if z0 is not None and self.test_arrays is not None and cfg.test_loglik_per_iter:
+            for lam, ll in zip(self.lambdas, self.sample_loglik(z)):
+                loglik_history.append({"lambda": _lambda_key(lam), "iter": 0,
+                                       "testLoglik": float(ll)})
+
         for iteration in range(1, cfg.num_iters + 1):
+            t_iter = time.monotonic()
             inner_eps = admm_math.inner_eps_schedule(
                 inner_eps, iteration, mindiff,
                 aggressive=cfg.aggressive_liblinear_epsilon_decay)
             rho_eff = jnp.asarray([
                 admm_math.rho_effective(
                     r, iteration,
+                    initialize_boost_rate=(cfg.initialize_boost_rate
+                                           if z0 is not None else 0.0),
                     rho_adapt_coefficient=cfg.rho_adapt_coefficient)
                 for r in self.rhos], dtype)
             z_dev = jnp.asarray(z, dtype)
@@ -169,27 +253,28 @@ class StreamingAdmmTrainer:
             xsum = np.zeros((L, n))
             usum = np.zeros((L, n))
             x_groups = []
-            for g, u_g, scale in zip(self.groups, u_groups, self.eps_scales):
-                head = (None, None, None, None, None)
-                if self.use_head:
-                    head = (jnp.asarray(g.head, dtype),
-                            jnp.asarray(g.head_ids),
-                            jnp.asarray(g.tail_rows),
-                            jnp.asarray(g.tail_cols),
-                            jnp.asarray(g.tail_vals, dtype))
-                x = self.solver(jnp.asarray(g.indices),
-                                jnp.asarray(g.values, dtype),
-                                jnp.asarray(g.y, dtype),
-                                jnp.asarray(g.weight, dtype),
-                                jnp.asarray(g.offset, dtype),
-                                head,
-                                jnp.asarray(g.present),
-                                z_dev, jnp.asarray(u_g, dtype), rho_eff,
-                                jnp.asarray(inner_eps * scale, dtype))
-                x = np.asarray(x, np.float64)
+            pending = self._put_group(0, dtype)     # prefetch first group
+            for gi, (u_g, scale) in enumerate(zip(u_groups,
+                                                  self.eps_scales)):
+                arrs = pending
+                indices, values, y, weight, offset, head, present = arrs
+                u_dev = jnp.asarray(u_g, dtype)
+                if self.mesh is not None:
+                    from mlease_tpu.parallel.mesh import block_sharding
+                    u_dev = jax.device_put(u_dev,
+                                           block_sharding(self.mesh, 1))
+                x_dev = self.solver(indices, values, y, weight, offset, head,
+                                    present, z_dev, u_dev, rho_eff,
+                                    jnp.asarray(inner_eps * scale, dtype))
+                # double buffering: issue the next group's transfer while the
+                # current solve runs; then sync on the previous solve
+                if gi + 1 < len(self.groups):
+                    pending = self._put_group(gi + 1, dtype)
+                x = np.asarray(x_dev, np.float64)
                 x_groups.append(x)
-                xsum += x.sum(axis=1)
-                usum += u_g.sum(axis=1)
+                real = self.real_nblocks[gi]    # mesh padding is a suffix
+                xsum += x[:, :real].sum(axis=1)
+                usum += u_g[:, :real].sum(axis=1)
 
             v = (xsum + usum) / N
             z_new = np.empty_like(z)
@@ -219,7 +304,24 @@ class StreamingAdmmTrainer:
             diff_history.append({_lambda_key(l): float(d)
                                  for l, d in zip(self.lambdas, diffs)})
             z = z_new
-            logger.info("stream iter %d: maxdiff=%g", iteration, maxdiff)
+            iter_times.append(time.monotonic() - t_iter)
+            logger.info("stream iter %d: maxdiff=%g (%.2fs)", iteration,
+                        maxdiff, iter_times[-1])
+
+            # per-iteration sample loglik + best-model tracking
+            # (RegressionAdmmTrain.java:766-845)
+            if self.test_arrays is not None and cfg.test_loglik_per_iter:
+                for li, (lam, ll) in enumerate(
+                        zip(self.lambdas, self.sample_loglik(z))):
+                    ll = float(ll)
+                    loglik_history.append({"lambda": _lambda_key(lam),
+                                           "iter": iteration,
+                                           "testLoglik": ll})
+                    if ll > best_loglik:
+                        best_loglik = ll
+                        best_lambda = _lambda_key(lam)
+                        best_model = LinearModel.from_dense(z[li], self.vocab)
+
             if admm_math.should_stop(maxdiff, inner_eps, cfg.epsilon,
                                      cfg.inner_eps_floor):
                 converged = True
@@ -227,10 +329,12 @@ class StreamingAdmmTrainer:
 
         models = {_lambda_key(l): LinearModel.from_dense(z[i], self.vocab)
                   for i, l in enumerate(self.lambdas)}
-        u_full = np.concatenate(u_groups, axis=1)
-        return AdmmResult(models=models, best_model=None, best_lambda=None,
-                          best_loglik=-9999999.0, iterations=iteration,
-                          sample_loglik_history=[],
+        u_full = np.concatenate([u_g[:, :real] for u_g, real
+                                 in zip(u_groups, self.real_nblocks)], axis=1)
+        return AdmmResult(models=models, best_model=best_model,
+                          best_lambda=best_lambda,
+                          best_loglik=best_loglik, iterations=iteration,
+                          sample_loglik_history=loglik_history,
                           diff_history=diff_history, z=z, u=u_full,
-                          converged=converged,
+                          converged=converged, iter_times=iter_times,
                           wall_time=time.monotonic() - t_start)

@@ -214,3 +214,43 @@ def test_pipeline_use_mesh_config(tmp_path):
     res_mesh = run_regression_pipeline(cfg("m", True))
     np.testing.assert_allclose(res_mesh.z, res_plain.z, rtol=1e-12,
                                atol=1e-12)
+
+
+def test_pipeline_streaming_groups(tmp_path):
+    """streaming.groups=2 (the >HBM mode) through the pipeline CLI surface:
+    same final models as the in-memory run, same output layout."""
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    base = {
+        "input.paths": path,
+        "test.path": path,
+        "num.blocks": "4",
+        "lambda": "1,10",
+        "num.iters": "4",
+        "regularizer": "2",
+        "test.loglik.per.iter": "true",
+        "force.output.overwrite": "true",
+        "dtype": "float64",
+        "multi.rhs": "false",
+        "prepare.seed": "7",
+    }
+    out_mem = str(tmp_path / "mem")
+    out_str = str(tmp_path / "stream")
+    res_mem = run_regression_pipeline(
+        JobConfig({**base, "output.base.path": out_mem}))
+    res_str = run_regression_pipeline(
+        JobConfig({**base, "output.base.path": out_str,
+                   "streaming.groups": "2"}))
+
+    np.testing.assert_allclose(res_str.z, res_mem.z, rtol=1e-9, atol=1e-11)
+    assert res_str.best_lambda == res_mem.best_lambda
+    assert np.isclose(res_str.best_loglik, res_mem.best_loglik, rtol=1e-9)
+    m_mem = read_model_file(os.path.join(out_mem, "final-model"))
+    m_str = read_model_file(os.path.join(out_str, "final-model"))
+    assert set(m_mem) == set(m_str)
+    assert os.path.isdir(os.path.join(out_str, "sample-test-loglik"))
+    best_files = os.listdir(os.path.join(out_str, "best-model"))
+    assert any(f.startswith("best-iteration-") for f in best_files)

@@ -61,3 +61,101 @@ def test_streaming_hybrid_multi_rhs():
         [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)],
         vocab, cfg).run()
     np.testing.assert_allclose(res_stream.z, res_mem.z, rtol=1e-9, atol=1e-11)
+
+
+def test_streaming_loglik_and_best_model_parity():
+    """Per-iteration sample loglik + best-model tracking must match the
+    in-memory trainer (RegressionAdmmTrain.java:766-845 semantics)."""
+    rng = np.random.default_rng(3)
+    rows = synth_rows(rng, 400)
+    test_rows = synth_rows(rng, 150)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+                     multi_rhs=False, test_loglik_per_iter=True)
+    res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg,
+                          test_rows=test_rows).run()
+    res_stream = StreamingAdmmTrainer(
+        [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)],
+        vocab, cfg, test_rows=test_rows).run()
+
+    assert len(res_stream.sample_loglik_history) == \
+        len(res_mem.sample_loglik_history) > 0
+    for a, b in zip(res_stream.sample_loglik_history,
+                    res_mem.sample_loglik_history):
+        assert a["lambda"] == b["lambda"] and a["iter"] == b["iter"]
+        assert np.isclose(a["testLoglik"], b["testLoglik"], rtol=1e-9)
+    assert res_stream.best_lambda == res_mem.best_lambda
+    assert np.isclose(res_stream.best_loglik, res_mem.best_loglik, rtol=1e-9)
+    for name, v in res_mem.best_model.coefficients.items():
+        assert np.isclose(res_stream.best_model.coefficients[name], v,
+                          rtol=1e-8)
+
+
+def test_streaming_warm_start_boost_parity():
+    """z0 warm start + initialize.boost.rate must match the in-memory
+    trainer (RegressionAdmmTrain.java:236-280)."""
+    rng = np.random.default_rng(4)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::2] for i in range(2)]
+    z0 = rng.normal(size=vocab.size) * 0.1
+    cfg = AdmmConfig(lambdas=[2.0], num_iters=4, dtype=jnp.float64,
+                     multi_rhs=False, initialize_boost_rate=5.0)
+    res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run(z0=z0)
+    res_stream = StreamingAdmmTrainer(
+        [pack_blocks([b], vocab) for b in blocks], vocab, cfg).run(z0=z0)
+    np.testing.assert_allclose(res_stream.z, res_mem.z, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(res_stream.u, res_mem.u, rtol=1e-8, atol=1e-10)
+
+
+def test_streaming_mesh_parity():
+    """Groups sharded over a device mesh (block axis) reproduce the
+    single-device streaming result; odd block counts exercise padding."""
+    import jax
+    from mlease_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::3] for i in range(3)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+                     multi_rhs=False)
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    res_plain = StreamingAdmmTrainer(groups, vocab, cfg).run()
+    mesh = make_mesh(jax.devices("cpu"), n=4)
+    res_mesh = StreamingAdmmTrainer(groups, vocab, cfg, mesh=mesh).run()
+    np.testing.assert_allclose(res_mesh.z, res_plain.z, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_mesh.u, res_plain.u, rtol=1e-8, atol=1e-11)
+
+
+def test_streaming_double_buffer_order():
+    """The next group's transfer must be issued before the current solve's
+    result is synced (the PCIe-under-solve overlap structure)."""
+    rng = np.random.default_rng(6)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::3] for i in range(3)]
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=1, dtype=jnp.float64,
+                     multi_rhs=False)
+    groups = [pack_blocks([b], vocab) for b in blocks]
+    tr = StreamingAdmmTrainer(groups, vocab, cfg)
+
+    events = []
+    orig_put = tr._put_group
+    orig_solver = tr.solver
+
+    def put(gi, dtype):
+        events.append(("put", gi))
+        return orig_put(gi, dtype)
+
+    def solver(*args):
+        events.append(("solve", sum(1 for e in events if e[0] == "solve")))
+        return orig_solver(*args)
+
+    tr._put_group = put
+    tr.solver = solver
+    tr.run()
+    first_iter = events[:6]
+    assert first_iter == [("put", 0), ("solve", 0), ("put", 1),
+                          ("solve", 1), ("put", 2), ("solve", 2)]
