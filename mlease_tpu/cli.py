@@ -290,6 +290,52 @@ def read_libsvm(path: str):
     return rows
 
 
+def _parse_fit_option(option: str):
+    """The reference's `option:` string: comma-separated key=value with keys
+    epsilon, type, max_iter, verbose, positive_weight
+    (LibLinear.parseOption, LibLinear.java:113-157); unknown keys raise."""
+    out = {}
+    if not option:
+        return out
+    for tok in option.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        key, sep, val = tok.partition("=")
+        key, val = key.strip(), val.strip()
+        if not sep or not val:
+            raise ValueError(f"Unknown option specification: '{tok}' "
+                             f"in '{option}'")
+        if key == "epsilon":
+            out["epsilon"] = float(val)
+        elif key == "max_iter":
+            out["max_iter"] = int(val)
+        elif key == "positive_weight":
+            out["positive_weight"] = float(val)
+        elif key == "type":
+            out["type"] = val
+        elif key == "verbose":
+            out["verbose"] = int(val)
+        else:
+            raise ValueError(f"Invalid option specification: '{tok}' "
+                             f"in '{option}'")
+    return out
+
+
+def _read_text_model(path: str, vocab, default: float = 0.0) -> np.ndarray:
+    """'name = value' text map -> dense vector over the vocab
+    (Util.readStringDoubleMap, the reference's init:/param: files)."""
+    v = np.full(vocab.size, default)
+    with open(path) as f:
+        for line in f:
+            name, _, value = line.partition("=")
+            name = name.strip()
+            idx = vocab.get(name)
+            if idx is not None and value.strip():
+                v[idx] = float(value)
+    return v
+
+
 def cmd_fit(args):
     """Local single-problem fit (LibLinear.main, LibLinear.java:519-724)."""
     import jax.numpy as jnp
@@ -297,6 +343,16 @@ def cmd_fit(args):
     from mlease_tpu.core import build_vocab, pack_rows
     from mlease_tpu.ops import objective as obj
     from mlease_tpu.ops.tron import tron
+
+    opts = _parse_fit_option(args.option)
+    if opts.get("type", "logistic_regression").startswith("0"):
+        raise ValueError(f"unknown model type {opts['type']!r}")
+    epsilon = opts.get("epsilon", args.epsilon)
+    max_iter = opts.get("max_iter", args.max_iter)
+    positive_weight = opts.get("positive_weight", args.positive_weight)
+    if args.posterior_cov and not args.posterior_var:
+        raise SystemExit(
+            "Cannot compute posterior covariances with posteriorVar:0")
 
     if args.ftype == "json":
         from mlease_tpu.io.records import read_json_rows
@@ -309,28 +365,32 @@ def cmd_fit(args):
         rows = [normalize_row(r) for r in avro.read_records(args.data)]
     else:
         rows = read_libsvm(args.data)
+    if args.binary_feature:
+        # LibLinearBinaryDataset semantics: all feature values treated as 1
+        for row in rows:
+            row["features"] = [(k, 1.0) for k, _v in row["features"]]
     vocab = build_vocab(rows, has_intercept=args.bias > 0)
     blk = pack_rows(rows, vocab, bias=args.bias if args.bias > 0 else 1.0)
+    if positive_weight != 1.0:
+        blk = blk._replace(weight=np.where(blk.y == 1,
+                                           positive_weight * blk.weight,
+                                           blk.weight))
     n = vocab.size
     pvi = np.full(n, 1.0 / args.prior_var)
-    pm = np.full(n, args.prior_mean)
+    # per-feature prior mean file (param:) else the scalar --prior-mean
+    pm = (_read_text_model(args.param, vocab, default=args.prior_mean)
+          if args.param else np.full(n, args.prior_mean))
     prob = obj.make_problem(blk, pm, pvi,
                             dtype=jnp.float64 if args.f64 else jnp.float32)
     w0 = np.zeros(n)
     if args.init:
         # warm start from a previously written "name = value" text model
         # (LibLinear.main's init: option, LibLinear.java:557-563)
-        with open(args.init) as f:
-            for line in f:
-                name, _, value = line.partition("=")
-                name = name.strip()
-                idx = vocab.get(name)
-                if idx is not None and value.strip():
-                    w0[idx] = float(value)
+        w0 = _read_text_model(args.init, vocab)
     scale = float(obj.class_balance_eps_scale(
         blk.y[None], np.array([blk.nrows]))[0])
     res = tron(prob, jnp.asarray(w0, prob.values.dtype),
-               eps=args.epsilon * scale, max_iter=args.max_iter)
+               eps=epsilon * scale, max_iter=max_iter)
     w = np.asarray(res.w, np.float64)
 
     lines = []
@@ -345,6 +405,17 @@ def cmd_fit(args):
             with open(args.out + ".var", "w") as f:
                 for i in range(n):
                     f.write(f"{vocab.name(i)} = {1.0 / hd[i]:.17g}\n")
+            if args.posterior_cov:
+                # full Laplace covariance = H^-1; text lines
+                # "[name1, name2] = value" (Util.printStringListDoubleMap,
+                # LibLinear.java:708-712)
+                H = np.asarray(obj.dense_hessian(prob, res.w), np.float64)
+                cov = np.linalg.inv(H)
+                with open(args.out + ".cov", "w") as f:
+                    for i in range(n):
+                        for j in range(n):
+                            f.write(f"[{vocab.name(i)}, {vocab.name(j)}] = "
+                                    f"{cov[i, j]:.17g}\n")
     else:
         sys.stdout.write(text)
     print(f"# iterations={int(res.iterations)} "
@@ -377,9 +448,20 @@ def main(argv=None):
     fit.add_argument("--prior-mean", type=float, default=0.0)
     fit.add_argument("--init", default="",
                      help="warm start from a text model written by --out")
+    fit.add_argument("--param", default="",
+                     help="per-feature prior-mean text file (param:)")
     fit.add_argument("--epsilon", type=float, default=0.01)
     fit.add_argument("--max-iter", type=int, default=1000)
+    fit.add_argument("--positive-weight", type=float, default=1.0)
+    fit.add_argument("--option", default="",
+                     help="reference option string, e.g. "
+                          "'max_iter=5,epsilon=0.01,positive_weight=2'")
+    fit.add_argument("--binary-feature", action="store_true",
+                     help="treat all feature values as 1 "
+                          "(LibLinearBinaryDataset)")
     fit.add_argument("--posterior-var", action="store_true")
+    fit.add_argument("--posterior-cov", action="store_true",
+                     help="write the full Laplace covariance to <out>.cov")
     fit.add_argument("--f64", action="store_true")
     fit.set_defaults(fn=cmd_fit)
 

