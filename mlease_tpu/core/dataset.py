@@ -73,6 +73,13 @@ class BlockedData(NamedTuple):
     tail_rows: np.ndarray | None = None  # (B, T) int32 flat-COO tail rows
     tail_cols: np.ndarray | None = None  # (B, T) int32 flat-COO tail columns
     tail_vals: np.ndarray | None = None  # (B, T) flat-COO tail values
+    # the same tail nonzeros sorted by column id: X'v and diag(H) become
+    # sorted segment-sums instead of scatter-adds (~1.6x on TPU, where
+    # scatter is the slowest primitive); tail_rows stays row-sorted for the
+    # Xv segment-sum. 2x tail storage for the tail's ~10% of nonzeros.
+    tail_c_rows: np.ndarray | None = None  # (B, T) int32
+    tail_c_cols: np.ndarray | None = None  # (B, T) int32 ascending per block
+    tail_c_vals: np.ndarray | None = None  # (B, T)
 
     @property
     def padded_rows(self) -> int:
@@ -234,12 +241,25 @@ def to_hybrid(data: BlockedData, head_size: int, *,
         tail_cols[b, :t] = data.indices[b][m]
         tail_vals[b, :t] = data.values[b][m]
 
+    # column-sorted copy of the tail; padding (val 0, col 0) sorts to the
+    # front and contributes nothing to segment 0
+    tc_rows = np.zeros_like(tail_rows)
+    tc_cols = np.zeros_like(tail_cols)
+    tc_vals = np.zeros_like(tail_vals)
+    for b in range(B):
+        ordc = np.argsort(tail_cols[b], kind="stable")
+        tc_rows[b] = tail_rows[b][ordc]
+        tc_cols[b] = tail_cols[b][ordc]
+        tc_vals[b] = tail_vals[b][ordc]
+
     empty = np.zeros((B, R, 0))
     return data._replace(indices=empty.astype(np.int32),
                          values=empty.astype(data.values.dtype),
                          head=head, head_ids=head_ids,
                          tail_rows=tail_rows, tail_cols=tail_cols,
-                         tail_vals=tail_vals)
+                         tail_vals=tail_vals,
+                         tail_c_rows=tc_rows, tail_c_cols=tc_cols,
+                         tail_c_vals=tc_vals)
 
 
 def csc_arrays(data: BlockedData) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -302,5 +322,8 @@ def split_blocks(data: BlockedData, n_groups: int) -> list[BlockedData]:
             head=sl(data.head, lo, hi), head_ids=data.head_ids,
             tail_rows=sl(data.tail_rows, lo, hi),
             tail_cols=sl(data.tail_cols, lo, hi),
-            tail_vals=sl(data.tail_vals, lo, hi)))
+            tail_vals=sl(data.tail_vals, lo, hi),
+            tail_c_rows=sl(data.tail_c_rows, lo, hi),
+            tail_c_cols=sl(data.tail_c_cols, lo, hi),
+            tail_c_vals=sl(data.tail_c_vals, lo, hi)))
     return out

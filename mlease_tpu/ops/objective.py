@@ -54,9 +54,14 @@ class LRProblem(NamedTuple):
     csc_vals: jax.Array | None = None   # (R*K,)
     head_x: jax.Array | None = None     # (R, H) dense hot columns (MXU path)
     head_ids: jax.Array | None = None   # (H,) int32 vocab ids of head slots
-    tail_rows: jax.Array | None = None  # (T,) int32 flat-COO tail (hybrid)
+    tail_rows: jax.Array | None = None  # (T,) int32 flat-COO tail (hybrid),
+                                        # sorted ascending (row-major order)
     tail_cols: jax.Array | None = None  # (T,) int32
     tail_vals: jax.Array | None = None  # (T,)
+    # column-sorted tail copy: X'v / diag(H) as sorted segment-sums
+    tail_c_rows: jax.Array | None = None  # (T,) int32
+    tail_c_cols: jax.Array | None = None  # (T,) int32 sorted ascending
+    tail_c_vals: jax.Array | None = None  # (T,)
 
     @property
     def dim(self) -> int:
@@ -108,7 +113,9 @@ def xv(prob: LRProblem, v: jax.Array) -> jax.Array:
                             precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals * v[prob.tail_cols]
-        out = out.at[prob.tail_rows].add(contrib)
+        out = out + jax.ops.segment_sum(contrib, prob.tail_rows,
+                                        num_segments=R,
+                                        indices_are_sorted=True)
     return out
 
 
@@ -133,7 +140,11 @@ def xtv(prob: LRProblem, d: jax.Array) -> jax.Array:
         # (H,) head accumulation via one MXU matvec + an H-sized scatter
         out = out.at[prob.head_ids].add(
             jnp.dot(prob.head_x.T, d, precision=jax.lax.Precision.HIGHEST))
-    if prob.tail_cols is not None:
+    if prob.tail_c_cols is not None:
+        out = out + jax.ops.segment_sum(
+            prob.tail_c_vals * d[prob.tail_c_rows], prob.tail_c_cols,
+            num_segments=prob.dim, indices_are_sorted=True)
+    elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(prob.tail_vals * d[prob.tail_rows])
     return out
 
@@ -196,7 +207,11 @@ def hessian_diagonal(prob: LRProblem, w: jax.Array) -> jax.Array:
         out = out.at[prob.head_ids].add(
             jnp.dot((prob.head_x * prob.head_x).T, q,
                     precision=jax.lax.Precision.HIGHEST))
-    if prob.tail_cols is not None:
+    if prob.tail_c_cols is not None:
+        out = out + jax.ops.segment_sum(
+            prob.tail_c_vals * prob.tail_c_vals * q[prob.tail_c_rows],
+            prob.tail_c_cols, num_segments=prob.dim, indices_are_sorted=True)
+    elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals * prob.tail_vals * q[prob.tail_rows])
     return out

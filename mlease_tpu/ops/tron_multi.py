@@ -39,9 +39,13 @@ class MultiProblem(NamedTuple):
     prior_var_inv: jax.Array  # (n, L)
     head_x: jax.Array | None = None     # (R, H)
     head_ids: jax.Array | None = None   # (H,)
-    tail_rows: jax.Array | None = None  # (T,)
+    tail_rows: jax.Array | None = None  # (T,) sorted ascending (row-major)
     tail_cols: jax.Array | None = None  # (T,)
     tail_vals: jax.Array | None = None  # (T,)
+    # column-sorted copy: X'v / diag(H) tails as sorted segment-sums
+    tail_c_rows: jax.Array | None = None  # (T,)
+    tail_c_cols: jax.Array | None = None  # (T,) sorted ascending
+    tail_c_vals: jax.Array | None = None  # (T,)
 
     @property
     def dim(self) -> int:
@@ -68,7 +72,10 @@ def xv(prob: MultiProblem, V: jax.Array) -> jax.Array:
                             precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals[:, None] * V[prob.tail_cols]
-        out = out.at[prob.tail_rows].add(contrib)
+        # tail_rows are row-major sorted: sorted segment-sum beats scatter
+        out = out + jax.ops.segment_sum(contrib, prob.tail_rows,
+                                        num_segments=R,
+                                        indices_are_sorted=True)
     return out
 
 
@@ -83,7 +90,11 @@ def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
         out = out.at[prob.head_ids].add(
             jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype,
                     precision=jax.lax.Precision.HIGHEST))
-    if prob.tail_cols is not None:
+    if prob.tail_c_cols is not None:
+        out = out + jax.ops.segment_sum(
+            prob.tail_c_vals[:, None] * Dm[prob.tail_c_rows],
+            prob.tail_c_cols, num_segments=n, indices_are_sorted=True)
+    elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * Dm[prob.tail_rows])
     return out
@@ -130,7 +141,12 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
             jnp.dot((prob.head_x * prob.head_x).T, Dm,
                     preferred_element_type=Dm.dtype,
                     precision=jax.lax.Precision.HIGHEST))
-    if prob.tail_cols is not None:
+    if prob.tail_c_cols is not None:
+        tv = prob.tail_c_vals[:, None]
+        out = out + jax.ops.segment_sum(
+            tv * tv * Dm[prob.tail_c_rows], prob.tail_c_cols,
+            num_segments=n, indices_are_sorted=True)
+    elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * prob.tail_vals[:, None]
             * Dm[prob.tail_rows])

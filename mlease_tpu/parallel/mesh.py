@@ -90,6 +90,9 @@ def pad_blocks(data: BlockedData, multiple: int) -> tuple[BlockedData, np.ndarra
         tail_rows=None if data.tail_rows is None else pad(data.tail_rows),
         tail_cols=None if data.tail_cols is None else pad(data.tail_cols),
         tail_vals=None if data.tail_vals is None else pad(data.tail_vals),
+        tail_c_rows=None if data.tail_c_rows is None else pad(data.tail_c_rows),
+        tail_c_cols=None if data.tail_c_cols is None else pad(data.tail_c_cols),
+        tail_c_vals=None if data.tail_c_vals is None else pad(data.tail_c_vals),
     ), valid
 
 

@@ -112,6 +112,7 @@ class AdmmResult:
     u: np.ndarray                                  # (L, B, n) final duals
     converged: bool
     wall_time: float = 0.0
+    compile_time: float = 0.0   # run_fused: AOT compile, excluded from wall
     iter_times: list[float] = field(default_factory=list)  # seconds/iteration
     solver_stats: list[dict] = field(default_factory=list)  # per-iteration
     # {"newton_trips": int, "cg_trips": int} lock-step loop-trip maxima
@@ -157,7 +158,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     dual_layout: bool = False,
                     use_head: bool = False,
                     multi_rhs: bool = False,
-                    pcg: bool = False) -> Callable:
+                    pcg: bool = False,
+                    jit: bool = True) -> Callable:
     """Build the jitted one-iteration program.
 
     Inputs (all jax arrays):
@@ -176,7 +178,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     def solve_one(indices, values, y, weight, offset, csc, head, prior_mean,
                   prior_var_inv, w0, eps):
         cols, rows, vals = csc if dual_layout else (None, None, None)
-        head_x, head_ids, t_rows, t_cols, t_vals = head
+        (head_x, head_ids, t_rows, t_cols, t_vals,
+         tc_rows, tc_cols, tc_vals) = head
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
@@ -184,7 +187,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                              csc_cols=cols, csc_rows=rows, csc_vals=vals,
                              head_x=head_x, head_ids=head_ids,
                              tail_rows=t_rows, tail_cols=t_cols,
-                             tail_vals=t_vals)
+                             tail_vals=t_vals, tail_c_rows=tc_rows,
+                             tail_c_cols=tc_cols, tail_c_vals=tc_vals)
         res = solver(prob, w0, eps)
         return res.w, res.iterations, res.cg_iterations
 
@@ -193,7 +197,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
     # prior_mean/prior_var/w0 batched.
     csc_inner = (0, 0, 0) if dual_layout else None
     csc_outer = (None, None, None) if dual_layout else None
-    head_inner = (0, None, 0, 0, 0) if use_head else None
+    head_inner = (0, None, 0, 0, 0, 0, 0, 0) if use_head else None
     solve_blocks = jax.vmap(solve_one,
                             in_axes=(0, 0, 0, 0, 0, csc_inner, head_inner,
                                      0, None, None, 0))
@@ -208,14 +212,16 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
 
         def solve_block_multi(indices, values, y, weight, offset, head,
                               prior_mean_T, prior_var_inv_T, W0, eps):
-            head_x, head_ids, t_rows, t_cols, t_vals = head
+            (head_x, head_ids, t_rows, t_cols, t_vals,
+             tc_rows, tc_cols, tc_vals) = head
             prob = MultiProblem(indices=indices, values=values, y=y,
                                 weight=weight, offset=offset,
                                 prior_mean=prior_mean_T,
                                 prior_var_inv=prior_var_inv_T,
                                 head_x=head_x, head_ids=head_ids,
                                 tail_rows=t_rows, tail_cols=t_cols,
-                                tail_vals=t_vals)
+                                tail_vals=t_vals, tail_c_rows=tc_rows,
+                                tail_c_cols=tc_cols, tail_c_vals=tc_vals)
             res = tron_multi(prob, W0, eps, max_iter=max_newton_iter,
                              max_cg_iter=max_cg_iter, precondition=pcg)
             return res.w, res.newton_trips, res.cg_trips
@@ -278,7 +284,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         diffs = admm_math.max_abs_diff(z_new, z, axis=-1)     # (L,)
         return z_new, u_new, diffs, stats
 
-    return jax.jit(step, donate_argnums=(10,))
+    return jax.jit(step, donate_argnums=(10,)) if jit else step
 
 
 def build_loglik_fn() -> Callable:
@@ -342,8 +348,9 @@ class AdmmTrainer:
             cc, cr, cv = csc_arrays(data)
             csc = (jnp.asarray(cc), jnp.asarray(cr), jnp.asarray(cv, dtype))
 
-        # optional dense-head hybrid (dense head + flat-COO tail)
-        head = (None, None, None, None, None)
+        # optional dense-head hybrid (dense head + flat-COO tail, both
+        # row-sorted and column-sorted tail copies)
+        head = (None,) * 8
         if data.head is not None:
             head_dtype = (config.head_dtype if config.head_dtype is not None
                           else dtype)
@@ -351,7 +358,10 @@ class AdmmTrainer:
                     jnp.asarray(data.head_ids),
                     jnp.asarray(data.tail_rows),
                     jnp.asarray(data.tail_cols),
-                    jnp.asarray(data.tail_vals, dtype))
+                    jnp.asarray(data.tail_vals, dtype),
+                    jnp.asarray(data.tail_c_rows),
+                    jnp.asarray(data.tail_c_cols),
+                    jnp.asarray(data.tail_c_vals, dtype))
 
         if mesh is not None:
             from mlease_tpu.parallel.mesh import shard_blocked_arrays, block_sharding
@@ -369,11 +379,9 @@ class AdmmTrainer:
             if head[0] is not None:
                 from mlease_tpu.parallel.mesh import replicated
                 bsh = block_sharding(mesh, 0)
-                head = (jax.device_put(head[0], bsh),
-                        jax.device_put(head[1], replicated(mesh)),
-                        jax.device_put(head[2], bsh),
-                        jax.device_put(head[3], bsh),
-                        jax.device_put(head[4], bsh))
+                head = tuple(
+                    jax.device_put(h, replicated(mesh) if i == 1 else bsh)
+                    for i, h in enumerate(head))
         self.indices, self.values, self.y = indices, values, y
         self.weight, self.offset, self.present = weight, offset, present
         self.eps_scale, self.block_valid = eps_scale, block_valid
@@ -417,6 +425,180 @@ class AdmmTrainer:
     def sample_loglik(self, z) -> np.ndarray:
         idx, val, y, w, off = self.test_arrays
         return np.asarray(self.loglik_fn(idx, val, y, w, off, z))
+
+    # ------------------------------------------------------------------
+    def run_fused(self, z0: np.ndarray | None = None) -> AdmmResult:
+        """The whole ADMM driver loop as ONE on-device lax.while_loop.
+
+        The reference's driver round-trips to HDFS/the cluster every
+        iteration; the host-loop `run()` below round-trips to the device
+        every iteration (a ~24 ms dispatch+fetch tax per iteration on a
+        tunneled chip). Here the inner-eps ladder, rho boost/adapt schedule,
+        stopping rule (RegressionAdmmTrain.java:281-497), per-iteration
+        sample loglik and best-model tracking (:766-845) all run on-device:
+        one dispatch, one fetch, per training run. Semantics match run()
+        exactly (same schedules, same stop rule); the only host-visible
+        difference is that per-iteration callbacks/checkpoints can't fire
+        mid-run.
+        """
+        cfg = self.config
+        L, n = len(self.lambdas), self.dim
+        dtype = cfg.dtype
+        if cfg.regularizer not in (1, 2):
+            raise ValueError("Only L1 and L2 regularization supported!")
+        max_it = cfg.num_iters
+        aggressive = bool(cfg.aggressive_liblinear_epsilon_decay)
+        boost = float(cfg.initialize_boost_rate if z0 is not None else 0.0)
+        adapt = float(cfg.rho_adapt_coefficient)
+        track_ll = (self.test_arrays is not None
+                    and cfg.test_loglik_per_iter)
+
+        if not hasattr(self, "_step_raw"):
+            self._step_raw = build_admm_step(
+                nblocks=self.nblocks, regularizer=cfg.regularizer,
+                intercept_index=self.vocab.intercept_index,
+                penalize_intercept=cfg.penalize_intercept,
+                reference_l1_compat=cfg.reference_l1_compat,
+                max_newton_iter=cfg.max_newton_iter,
+                max_cg_iter=cfg.max_cg_iter,
+                relaxation=cfg.relaxation,
+                dual_layout=cfg.dual_layout,
+                use_head=self.data.head is not None,
+                multi_rhs=cfg.multi_rhs and not cfg.dual_layout,
+                pcg=cfg.pcg, jit=False)
+        step_raw = self._step_raw
+
+        rho_base = jnp.asarray(self.rhos, dtype)
+        lam_vec = self.lam_vec
+        eps_scale = self.eps_scale
+        NEG = jnp.asarray(-9999999.0, dtype)
+
+        def loglik_dev(z):
+            idx, val, yv, wv, off = self.test_arrays
+            def one(z_l):
+                s = jnp.sum(val * z_l[idx], axis=-1) + off
+                ll = -jnp.logaddexp(0.0, -yv * s) * wv
+                return jnp.sum(ll) / jnp.sum(wv)
+            return jax.vmap(one)(z)
+
+        def body(state):
+            (z, u, inner_eps, mindiff, it, done, diffs_h, ll_h,
+             best_ll, best_z, best_lam, best_it, nt_tot, cg_tot) = state
+            if aggressive:
+                inner_eps = jnp.where(it > 5, inner_eps / 10.0, inner_eps)
+            else:
+                inner_eps = jnp.where((it > 1) & (mindiff < 1e-3),
+                                      inner_eps / 10.0, inner_eps)
+            rho_eff = rho_base
+            if boost > 0:
+                rho_eff = jnp.where(it == 1, rho_base * boost, rho_eff)
+            if adapt > 0:
+                rho_eff = jnp.where(
+                    it > 1, rho_base * jnp.exp(-(it - 1.0) * adapt), rho_eff)
+            eps = inner_eps * eps_scale
+
+            z, u, diffs, stats = step_raw(
+                self.indices, self.values, self.y, self.weight, self.offset,
+                self.csc, self.head, self.present, self.block_valid,
+                z, u, lam_vec, rho_eff, rho_base, eps)
+            mindiff = jnp.min(diffs).astype(jnp.float64)
+            maxdiff = jnp.max(diffs)
+            diffs_h = diffs_h.at[it].set(diffs)
+            nt_tot += jnp.max(stats["newton_trips"])
+            cg_tot += jnp.max(stats["cg_trips"])
+
+            if track_ll:
+                ll = loglik_dev(z)
+                ll_h = ll_h.at[it].set(ll)
+                bi = jnp.argmax(ll).astype(jnp.int32)
+                better = ll[bi] > best_ll
+                best_ll = jnp.where(better, ll[bi], best_ll)
+                best_z = jnp.where(better, z[bi], best_z)
+                best_lam = jnp.where(better, bi, best_lam)
+                best_it = jnp.where(better, it, best_it)
+
+            done = (maxdiff < cfg.epsilon) & (inner_eps
+                                              <= cfg.inner_eps_floor)
+            return (z, u, inner_eps, mindiff, it + 1, done, diffs_h, ll_h,
+                    best_ll, best_z, best_lam, best_it, nt_tot, cg_tot)
+
+        def cond(state):
+            it, done = state[4], state[5]
+            return (it <= max_it) & ~done
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fused(z, u):
+            init = (z, u,
+                    jnp.asarray(cfg.liblinear_epsilon, jnp.float64),
+                    jnp.asarray(99999999.0, jnp.float64),
+                    jnp.asarray(1, jnp.int32), jnp.asarray(False),
+                    jnp.full((max_it + 1, L), jnp.nan, dtype),
+                    jnp.full((max_it + 1, L), jnp.nan, dtype),
+                    NEG, jnp.zeros(n, dtype), jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+            return jax.lax.while_loop(cond, body, init)
+
+        z = (jnp.zeros((L, n), dtype) if z0 is None
+             else jnp.asarray(np.broadcast_to(z0, (L, n)), dtype))
+        u = jnp.zeros((L, self.data.nblocks, n), dtype)
+        if self.mesh is not None:
+            from mlease_tpu.parallel.mesh import block_sharding, replicated
+            z = jax.device_put(z, replicated(self.mesh))
+            u = jax.device_put(u, block_sharding(self.mesh, 1))
+
+        t_compile = time.monotonic()
+        compiled = fused.lower(z, u).compile()
+        compile_time = time.monotonic() - t_compile
+        t_start = time.monotonic()
+        (z, u, inner_eps, mindiff, it, done, diffs_h, ll_h, best_ll,
+         best_z, best_lam, best_it, nt_tot, cg_tot) = compiled(z, u)
+        diffs_np = np.asarray(diffs_h, np.float64)   # host sync
+        wall = time.monotonic() - t_start
+        iterations = int(it) - 1
+        converged = bool(done)
+
+        ll_np = np.asarray(ll_h, np.float64)
+        loglik_history = []
+        if z0 is not None and track_ll:
+            for lam, ll in zip(self.lambdas,
+                               self.sample_loglik(
+                                   jnp.asarray(np.broadcast_to(
+                                       z0, (L, n)), dtype))):
+                loglik_history.append({"lambda": _lambda_key(lam), "iter": 0,
+                                       "testLoglik": float(ll)})
+        diff_history = []
+        for i in range(1, iterations + 1):
+            diff_history.append({_lambda_key(lam): float(d) for lam, d
+                                 in zip(self.lambdas, diffs_np[i])})
+            if track_ll:
+                for lam, ll in zip(self.lambdas, ll_np[i]):
+                    loglik_history.append({"lambda": _lambda_key(lam),
+                                           "iter": i,
+                                           "testLoglik": float(ll)})
+        best_model = None
+        best_lambda = None
+        best_loglik = float(np.asarray(best_ll))
+        if track_ll and best_loglik > -9999998.0:
+            best_model = LinearModel.from_dense(
+                np.asarray(best_z, np.float64), self.vocab)
+            best_lambda = _lambda_key(self.lambdas[int(best_lam)])
+        else:
+            best_loglik = -9999999.0
+
+        z_np = np.asarray(z, np.float64)
+        models = {
+            _lambda_key(lam): LinearModel.from_dense(z_np[i], self.vocab)
+            for i, lam in enumerate(self.lambdas)}
+        return AdmmResult(
+            models=models, best_model=best_model, best_lambda=best_lambda,
+            best_loglik=best_loglik, iterations=iterations,
+            sample_loglik_history=loglik_history, diff_history=diff_history,
+            iter_times=[wall / max(iterations, 1)] * iterations,
+            solver_stats=[{"newton_trips": int(nt_tot),
+                           "cg_trips": int(cg_tot)}],
+            z=z_np, u=np.asarray(u, np.float64)[:, :self.nblocks],
+            converged=converged, wall_time=wall, compile_time=compile_time)
 
     # ------------------------------------------------------------------
     def run(self, z0: np.ndarray | None = None,

@@ -317,7 +317,16 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         run_kwargs["z0"] = z0
     from mlease_tpu.utils.profiling import trace
     with trace(config.get_string("profile.dir", "")):
-        result = trainer.run(callback=on_iteration, **run_kwargs)
+        # fused.loop=true: the whole driver loop as one on-device
+        # lax.while_loop (no per-iteration host round-trips; identical
+        # semantics, see AdmmTrainer.run_fused) — per-iteration checkpoints
+        # and iter-i dumps can't fire mid-run, so it's off by default
+        if (config.get_boolean("fused.loop", False)
+                and "start_iteration" not in run_kwargs
+                and not write_train_output):
+            result = trainer.run_fused(z0=run_kwargs.get("z0"))
+        else:
+            result = trainer.run(callback=on_iteration, **run_kwargs)
     return _write_pipeline_outputs(config, result, out_base, test_path,
                                    test_records, ignore_value)
 

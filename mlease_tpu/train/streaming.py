@@ -54,17 +54,19 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
 
     def solve_one(indices, values, y, weight, offset, head, prior_mean,
                   prior_var_inv, w0, eps):
-        head_x, head_ids, t_rows, t_cols, t_vals = head
+        (head_x, head_ids, t_rows, t_cols, t_vals,
+         tc_rows, tc_cols, tc_vals) = head
         prob = obj.LRProblem(indices=indices, values=values, y=y,
                              weight=weight, offset=offset,
                              prior_mean=prior_mean,
                              prior_var_inv=prior_var_inv,
                              head_x=head_x, head_ids=head_ids,
                              tail_rows=t_rows, tail_cols=t_cols,
-                             tail_vals=t_vals)
+                             tail_vals=t_vals, tail_c_rows=tc_rows,
+                             tail_c_cols=tc_cols, tail_c_vals=tc_vals)
         return solver(prob, w0, eps).w
 
-    head_inner = (0, None, 0, 0, 0) if use_head else None
+    head_inner = (0, None, 0, 0, 0, 0, 0, 0) if use_head else None
     solve_blocks = jax.vmap(solve_one,
                             in_axes=(0, 0, 0, 0, 0, head_inner, 0, None,
                                      None, 0))
@@ -77,14 +79,16 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
 
         def solve_block_multi(indices, values, y, weight, offset, head,
                               prior_mean_T, prior_var_inv_T, W0, eps):
-            head_x, head_ids, t_rows, t_cols, t_vals = head
+            (head_x, head_ids, t_rows, t_cols, t_vals,
+             tc_rows, tc_cols, tc_vals) = head
             prob = MultiProblem(indices=indices, values=values, y=y,
                                 weight=weight, offset=offset,
                                 prior_mean=prior_mean_T,
                                 prior_var_inv=prior_var_inv_T,
                                 head_x=head_x, head_ids=head_ids,
                                 tail_rows=t_rows, tail_cols=t_cols,
-                                tail_vals=t_vals)
+                                tail_vals=t_vals, tail_c_rows=tc_rows,
+                                tail_c_cols=tc_cols, tail_c_vals=tc_vals)
             return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
                               max_cg_iter=max_cg_iter, precondition=pcg).w
 
@@ -199,11 +203,13 @@ class StreamingAdmmTrainer:
         else:
             put_b = lambda a, dt=None: jnp.asarray(a, dt)  # noqa: E731
             put_r = jnp.asarray
-        head = (None, None, None, None, None)
+        head = (None,) * 8
         if self.use_head:
             head = (put_b(g.head, dtype), put_r(g.head_ids),
                     put_b(g.tail_rows), put_b(g.tail_cols),
-                    put_b(g.tail_vals, dtype))
+                    put_b(g.tail_vals, dtype),
+                    put_b(g.tail_c_rows), put_b(g.tail_c_cols),
+                    put_b(g.tail_c_vals, dtype))
         return (put_b(g.indices), put_b(g.values, dtype),
                 put_b(g.y, dtype), put_b(g.weight, dtype),
                 put_b(g.offset, dtype), head, put_b(g.present))

@@ -79,7 +79,7 @@ eps = jax.device_put(0.01 * eps_scale, NamedSharding(mesh, P("block")))
 block_valid = jax.device_put(jnp.ones(NBLOCKS),
                              NamedSharding(mesh, P("block")))
 csc = (None, None, None)
-head = (None, None, None, None, None)
+head = (None,) * 8
 
 for _ in range(4):
     z, u, diffs, _stats = step(global_arrays["indices"], global_arrays["values"],

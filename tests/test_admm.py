@@ -244,3 +244,57 @@ def test_rho_adaptation_only_affects_x_subproblem():
     expected = np.full(vocab.size, 3.0 * kappa)
     expected[vocab.intercept_index] = 3.0  # unpenalized intercept
     np.testing.assert_allclose(result.z[0], expected, rtol=1e-10)
+
+
+def test_fused_run_matches_host_loop():
+    """run_fused (one on-device lax.while_loop for the whole driver) must
+    reproduce run() exactly: same z/u, same diff history, same loglik/best
+    tracking, same stopping behavior."""
+    rng = np.random.default_rng(11)
+    rows = synth_rows(rng, 400)
+    test_rows = synth_rows(rng, 150)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    data = pack_blocks(blocks, vocab)
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                     test_loglik_per_iter=True, multi_rhs=True, pcg=True,
+                     head_size=4)
+    tr1 = AdmmTrainer(data, vocab, cfg, test_rows=test_rows)
+    res_host = tr1.run()
+    tr2 = AdmmTrainer(data, vocab, cfg, test_rows=test_rows)
+    res_fused = tr2.run_fused()
+
+    assert res_fused.iterations == res_host.iterations
+    assert res_fused.converged == res_host.converged
+    np.testing.assert_allclose(res_fused.z, res_host.z, rtol=1e-12)
+    np.testing.assert_allclose(res_fused.u, res_host.u, rtol=1e-12)
+    assert len(res_fused.diff_history) == len(res_host.diff_history)
+    for a, b in zip(res_fused.diff_history, res_host.diff_history):
+        for k in a:
+            assert np.isclose(a[k], b[k], rtol=1e-12)
+    assert len(res_fused.sample_loglik_history) == \
+        len(res_host.sample_loglik_history)
+    for a, b in zip(res_fused.sample_loglik_history,
+                    res_host.sample_loglik_history):
+        assert a["lambda"] == b["lambda"] and a["iter"] == b["iter"]
+        assert np.isclose(a["testLoglik"], b["testLoglik"], rtol=1e-12)
+    assert res_fused.best_lambda == res_host.best_lambda
+    assert np.isclose(res_fused.best_loglik, res_host.best_loglik,
+                      rtol=1e-12)
+
+
+def test_fused_run_warm_start_and_stop():
+    """Fused loop honors z0 warm start + boost and the early-stop rule."""
+    rng = np.random.default_rng(12)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::2] for i in range(2)]
+    data = pack_blocks(blocks, vocab)
+    z0 = rng.normal(size=vocab.size) * 0.05
+    cfg = AdmmConfig(lambdas=[5.0], num_iters=60, dtype=jnp.float64,
+                     initialize_boost_rate=4.0, multi_rhs=False)
+    res_host = AdmmTrainer(data, vocab, cfg).run(z0=z0)
+    res_fused = AdmmTrainer(data, vocab, cfg).run_fused(z0=z0)
+    assert res_fused.iterations == res_host.iterations
+    assert res_fused.converged == res_host.converged
+    np.testing.assert_allclose(res_fused.z, res_host.z, rtol=1e-12)
