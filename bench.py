@@ -476,6 +476,12 @@ def main():
     global _PHASE
     import jax
 
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it so
+    # `JAX_PLATFORMS=cpu python bench.py` really benches the CPU backend
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        jax.config.update("jax_platforms", plat)
+
     # watchdog: never leave the driver without a parseable line
     deadline = float(os.environ.get("BENCH_DEADLINE", 240))
     if hasattr(signal, "SIGALRM") and deadline > 0:

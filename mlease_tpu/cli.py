@@ -430,6 +430,12 @@ def main(argv=None):
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     from mlease_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+    # `JAX_PLATFORMS=cpu python -m mlease_tpu ...` really runs on CPU
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(prog="mlease_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("train", cmd_train), ("naive", cmd_naive),

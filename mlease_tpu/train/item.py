@@ -355,17 +355,20 @@ def pack_buckets_columnar(decoded, cfg: ItemConfig):
 
 
 def train_item_models(keyed_rows: Mapping[str, Sequence[Mapping]],
-                      config: ItemConfig) -> ItemResult:
-    return _train_packed(_pack_buckets_rows(keyed_rows, config), config)
+                      config: ItemConfig, mesh=None) -> ItemResult:
+    return _train_packed(_pack_buckets_rows(keyed_rows, config), config,
+                         mesh=mesh)
 
 
-def train_item_models_columnar(decoded, config: ItemConfig) -> ItemResult:
+def train_item_models_columnar(decoded, config: ItemConfig,
+                               mesh=None) -> ItemResult:
     """Per-item training straight from a columnar decode — the production
     ingest path (see pack_buckets_columnar)."""
-    return _train_packed(pack_buckets_columnar(decoded, config), config)
+    return _train_packed(pack_buckets_columnar(decoded, config), config,
+                         mesh=mesh)
 
 
-def _train_packed(packed, config: ItemConfig) -> ItemResult:
+def _train_packed(packed, config: ItemConfig, mesh=None) -> ItemResult:
     cfg = config
     dtype = cfg.dtype
     lambda_map = dict(cfg.lambda_map or {})
@@ -425,6 +428,10 @@ def _train_packed(packed, config: ItemConfig) -> ItemResult:
     posterior: dict[str, LinearModel] = {}
     covs: dict[str, dict] = {} if (cfg.compute_var and cfg.full_cov) else None
 
+    if mesh is not None:
+        from mlease_tpu.parallel.mesh import block_sharding
+        item_sharding = block_sharding(mesh, 0)   # items shard like blocks
+        mesh_mult = int(mesh.devices.size)
     for (R, K, F), arrs, meta in packed:
         # pad the item axis to a bucketed size so the compiled solver is
         # reused across runs with different item counts (the compile of a
@@ -432,6 +439,8 @@ def _train_packed(packed, config: ItemConfig) -> ItemResult:
         # lanes are copies of item 0 — real, solvable, discarded at assembly
         I = len(meta)
         I_pad = _bucket_dim_15(I)
+        if mesh is not None:   # item axis must divide the mesh
+            I_pad = ((I_pad + mesh_mult - 1) // mesh_mult) * mesh_mult
         if I_pad > I:
             arrs = {k: np.concatenate(
                 [v, np.broadcast_to(v[:1], (I_pad - I,) + v.shape[1:])])
@@ -439,15 +448,20 @@ def _train_packed(packed, config: ItemConfig) -> ItemResult:
         eps = cfg.liblinear_epsilon * obj.class_balance_eps_scale(
             arrs["y"], arrs["nrows"])
         fn = solve_bucket_fn(F)
-        w, pvar, cov = fn(
+        dev_in = [
             jnp.asarray(arrs["indices"]), jnp.asarray(arrs["values"], dtype),
             jnp.asarray(arrs["y"], dtype), jnp.asarray(arrs["weight"], dtype),
             jnp.asarray(arrs["offset"], dtype),
             jnp.asarray(arrs["prior_mean"], dtype),
             jnp.asarray(arrs["map_mask"]),
             jnp.asarray(arrs["map_pvi"], dtype),
-            jnp.asarray(arrs["pad_mask"]), jnp.asarray(eps, dtype),
-            il_arr, dl_arr)
+            jnp.asarray(arrs["pad_mask"]), jnp.asarray(eps, dtype)]
+        if mesh is not None:
+            # shard the item axis over the mesh: independent solves, no
+            # collectives — embarrassing model parallelism for the per-key
+            # family (SURVEY §2.3 row 3)
+            dev_in = [jax.device_put(a, item_sharding) for a in dev_in]
+        w, pvar, cov = fn(*dev_in, il_arr, dl_arr)
         w = np.asarray(w, np.float64)
         pvar = np.asarray(pvar, np.float64)
         cov = np.asarray(cov, np.float64)

@@ -218,3 +218,25 @@ def test_item_columnar_parity():
         assert np.isclose(pv.intercept, pvc.intercept, rtol=1e-6)
         for name, v in pv.coefficients.items():
             assert np.isclose(v, pvc.coefficients[name], rtol=1e-6), (key, name)
+
+
+def test_item_mesh_parity():
+    """Per-item solves sharded over the mesh item axis match single-device."""
+    import jax
+
+    from mlease_tpu.parallel import make_mesh
+    from mlease_tpu.train.item import train_item_models
+
+    rng = np.random.default_rng(13)
+    keyed = {f"k{i}": synth_rows(rng, 40, n_feat=5) for i in range(10)}
+    cfg = ItemConfig(intercept_lambdas=[1.0], default_lambdas=[1.0, 4.0],
+                     compute_var=True, dtype=jnp.float64)
+    r_plain = train_item_models(keyed, cfg)
+    mesh = make_mesh(jax.devices("cpu"), n=4)
+    r_mesh = train_item_models(keyed, cfg, mesh=mesh)
+    assert set(r_plain.models) == set(r_mesh.models)
+    for key, m in r_plain.models.items():
+        mm = r_mesh.models[key]
+        assert np.isclose(m.intercept, mm.intercept, rtol=1e-10)
+        for name, v in m.coefficients.items():
+            assert np.isclose(v, mm.coefficients[name], rtol=1e-10)
