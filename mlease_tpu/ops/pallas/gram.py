@@ -10,9 +10,17 @@ chunk contributing X_tile' (D_tile * X_tile) via one 128x128-systolic matmul,
 accumulated in a VMEM f32 scratch across the grid.
 
 For small F (the per-item path) XLA's einsum is already near-optimal; this
-kernel wins when R is large enough that streaming row tiles while the MXU
-accumulates matters, and it guarantees f32 accumulation regardless of input
-dtype (bf16 inputs ride the MXU natively).
+kernel guarantees f32 accumulation regardless of input dtype (bf16 inputs
+ride the MXU natively).
+
+HARDWARE VERDICT (v5e, round 2 — win-or-delete measurement): parity with the
+XLA `jnp.dot(x.T * d, x)` baseline, not a win. f32: 10.32 vs 10.35 ms at
+R=131072, F=512 (4.78 vs 4.99 ms at F=256, tile_r=1024); bf16-in/f32-acc:
+8.59 vs 8.72 ms. XLA already streams row tiles through the MXU optimally for
+this contraction, so the kernel stays in-tree as a tested reference
+implementation (and the guaranteed-f32-accumulation variant for bf16
+inputs), NOT as a production fast path. `ops/pallas/tile_sum.py` reached the
+same conclusion vs `jax.ops.segment_sum` (see its docstring / ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -34,12 +42,16 @@ def _gram_kernel(x_ref, d_ref, out_ref, acc_ref):
 
     x = x_ref[:]                                   # (TILE_R, F)
     xd = x * d_ref[:]                              # weight rows by D
-    # HIGHEST precision: TPU f32 matmul runs as multi-pass bf16 on the MXU;
-    # the default single pass loses ~3 decimal digits on the Gram entries
+    # f32 inputs: HIGHEST precision (TPU f32 matmul runs as multi-pass bf16
+    # on the MXU; the default single pass loses ~3 decimal digits on the
+    # Gram entries). bf16 inputs ride the MXU natively with f32 accumulation
+    # (Mosaic rejects HIGHEST on bf16 operands).
+    precision = (None if x.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     acc_ref[:] += jax.lax.dot_general(
         x, xd, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)       # (F, F) via MXU
+        precision=precision)                       # (F, F) via MXU
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
