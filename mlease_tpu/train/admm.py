@@ -427,19 +427,24 @@ class AdmmTrainer:
         return np.asarray(self.loglik_fn(idx, val, y, w, off, z))
 
     # ------------------------------------------------------------------
-    def run_fused(self, z0: np.ndarray | None = None) -> AdmmResult:
-        """The whole ADMM driver loop as ONE on-device lax.while_loop.
+    def run_fused(self, z0: np.ndarray | None = None, *,
+                  checkpoint_every: int | None = None,
+                  callback: Callable | None = None) -> AdmmResult:
+        """The whole ADMM driver loop as on-device lax.while_loop chunks.
 
         The reference's driver round-trips to HDFS/the cluster every
         iteration; the host-loop `run()` below round-trips to the device
         every iteration (a ~24 ms dispatch+fetch tax per iteration on a
         tunneled chip). Here the inner-eps ladder, rho boost/adapt schedule,
         stopping rule (RegressionAdmmTrain.java:281-497), per-iteration
-        sample loglik and best-model tracking (:766-845) all run on-device:
-        one dispatch, one fetch, per training run. Semantics match run()
-        exactly (same schedules, same stop rule); the only host-visible
-        difference is that per-iteration callbacks/checkpoints can't fire
-        mid-run.
+        sample loglik and best-model tracking (:766-845) all run on-device.
+        Semantics match run() exactly (same schedules, same stop rule).
+
+        checkpoint_every=None runs the whole training as ONE dispatch and
+        ONE fetch. checkpoint_every=C pauses every C iterations to fire
+        `callback(iteration=, z=, u=, diffs=, inner_eps=, logliks=)` (the
+        run() callback contract, once per chunk with the latest state) —
+        per-chunk checkpointing at 1/C of the host round-trip tax.
         """
         cfg = self.config
         L, n = len(self.lambdas), self.dim
@@ -482,7 +487,7 @@ class AdmmTrainer:
             return jax.vmap(one)(z)
 
         def body(state):
-            (z, u, inner_eps, mindiff, it, done, diffs_h, ll_h,
+            (z, u, inner_eps, mindiff, it, done, chunk_end, diffs_h, ll_h,
              best_ll, best_z, best_lam, best_it, nt_tot, cg_tot) = state
             if aggressive:
                 inner_eps = jnp.where(it > 5, inner_eps / 10.0, inner_eps)
@@ -519,25 +524,17 @@ class AdmmTrainer:
 
             done = (maxdiff < cfg.epsilon) & (inner_eps
                                               <= cfg.inner_eps_floor)
-            return (z, u, inner_eps, mindiff, it + 1, done, diffs_h, ll_h,
+            return (z, u, inner_eps, mindiff, it + 1, done, chunk_end,
+                    diffs_h, ll_h,
                     best_ll, best_z, best_lam, best_it, nt_tot, cg_tot)
 
         def cond(state):
-            it, done = state[4], state[5]
-            return (it <= max_it) & ~done
+            it, done, chunk_end = state[4], state[5], state[6]
+            return (it <= jnp.minimum(chunk_end, max_it)) & ~done
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def fused(z, u):
-            init = (z, u,
-                    jnp.asarray(cfg.liblinear_epsilon, jnp.float64),
-                    jnp.asarray(99999999.0, jnp.float64),
-                    jnp.asarray(1, jnp.int32), jnp.asarray(False),
-                    jnp.full((max_it + 1, L), jnp.nan, dtype),
-                    jnp.full((max_it + 1, L), jnp.nan, dtype),
-                    NEG, jnp.zeros(n, dtype), jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-            return jax.lax.while_loop(cond, body, init)
+        @partial(jax.jit, donate_argnums=(0,))
+        def fused(state):
+            return jax.lax.while_loop(cond, body, state)
 
         z = (jnp.zeros((L, n), dtype) if z0 is None
              else jnp.asarray(np.broadcast_to(z0, (L, n)), dtype))
@@ -547,12 +544,51 @@ class AdmmTrainer:
             z = jax.device_put(z, replicated(self.mesh))
             u = jax.device_put(u, block_sharding(self.mesh, 1))
 
+        chunk = (max_it if checkpoint_every is None
+                 else max(int(checkpoint_every), 1))
+        state = (z, u,
+                 jnp.asarray(cfg.liblinear_epsilon, jnp.float64),
+                 jnp.asarray(99999999.0, jnp.float64),
+                 jnp.asarray(1, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(chunk, jnp.int32),
+                 jnp.full((max_it + 1, L), jnp.nan, dtype),
+                 jnp.full((max_it + 1, L), jnp.nan, dtype),
+                 NEG, jnp.zeros(n, dtype), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+
         t_compile = time.monotonic()
-        compiled = fused.lower(z, u).compile()
+        compiled = fused.lower(state).compile()
         compile_time = time.monotonic() - t_compile
         t_start = time.monotonic()
-        (z, u, inner_eps, mindiff, it, done, diffs_h, ll_h, best_ll,
-         best_z, best_lam, best_it, nt_tot, cg_tot) = compiled(z, u)
+        seen_ll_iters = 0
+        while True:
+            state = compiled(state)
+            it_now = int(np.asarray(state[4]))
+            done_now = bool(np.asarray(state[5]))
+            if callback is not None:
+                diffs_chunk = np.asarray(state[7], np.float64)
+                logliks = None
+                if track_ll:
+                    ll_chunk = np.asarray(state[8], np.float64)
+                    logliks = [
+                        {"lambda": _lambda_key(lam), "iter": i,
+                         "testLoglik": float(ll)}
+                        for i in range(seen_ll_iters + 1, it_now)
+                        for lam, ll in zip(self.lambdas, ll_chunk[i])]
+                    seen_ll_iters = it_now - 1
+                callback(iteration=it_now - 1, z=state[0], u=state[1],
+                         diffs=diffs_chunk[it_now - 1],
+                         inner_eps=float(np.asarray(state[2])),
+                         logliks=logliks)
+            if done_now or it_now > max_it:
+                break
+            # next chunk: bump the device-side chunk bound
+            state = tuple(
+                jnp.asarray(min(it_now + chunk - 1, max_it), jnp.int32)
+                if i == 6 else s for i, s in enumerate(state))
+        (z, u, inner_eps, mindiff, it, done, _ce, diffs_h, ll_h, best_ll,
+         best_z, best_lam, best_it, nt_tot, cg_tot) = state
         diffs_np = np.asarray(diffs_h, np.float64)   # host sync
         wall = time.monotonic() - t_start
         iterations = int(it) - 1

@@ -317,14 +317,35 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         run_kwargs["z0"] = z0
     from mlease_tpu.utils.profiling import trace
     with trace(config.get_string("profile.dir", "")):
-        # fused.loop=true: the whole driver loop as one on-device
-        # lax.while_loop (no per-iteration host round-trips; identical
-        # semantics, see AdmmTrainer.run_fused) — per-iteration checkpoints
-        # and iter-i dumps can't fire mid-run, so it's off by default
+        # fused.loop=true: the driver loop runs on-device in lax.while_loop
+        # chunks (no per-iteration host round-trips; identical semantics,
+        # see AdmmTrainer.run_fused). checkpoint.every=C pauses every C
+        # iterations for a crash checkpoint; iter-i interop dumps need
+        # per-iteration u deltas, so write.train.output keeps the host loop
         if (config.get_boolean("fused.loop", False)
                 and "start_iteration" not in run_kwargs
                 and not write_train_output):
-            result = trainer.run_fused(z0=run_kwargs.get("z0"))
+            every = config.get_int("checkpoint.every", 0) or None
+
+            def on_chunk(iteration, z, u, diffs, inner_eps, logliks=None):
+                ckpt.save_checkpoint(ckpt_dir, iteration, np.asarray(z),
+                                     np.asarray(u), inner_eps=inner_eps,
+                                     mindiff=float(np.min(diffs)),
+                                     best_loglik=best_state["loglik"])
+                if not keep_all:
+                    ckpt.prune_checkpoints(ckpt_dir, keep=2)
+                by_iter: dict[int, list] = {}
+                for entry in logliks or []:
+                    by_iter.setdefault(entry["iter"], []).append(entry)
+                for it, entries in by_iter.items():
+                    avro.write_records(
+                        os.path.join(out_base, "sample-test-loglik",
+                                     f"iteration-{it}.avro"),
+                        schemas.SAMPLE_TEST_LOGLIK, entries)
+
+            result = trainer.run_fused(z0=run_kwargs.get("z0"),
+                                       checkpoint_every=every,
+                                       callback=on_chunk)
         else:
             result = trainer.run(callback=on_iteration, **run_kwargs)
     return _write_pipeline_outputs(config, result, out_base, test_path,

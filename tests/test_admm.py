@@ -298,3 +298,33 @@ def test_fused_run_warm_start_and_stop():
     assert res_fused.iterations == res_host.iterations
     assert res_fused.converged == res_host.converged
     np.testing.assert_allclose(res_fused.z, res_host.z, rtol=1e-12)
+
+
+def test_fused_run_chunked_matches_single_chunk():
+    """Chunked fused execution (checkpoint_every=2) must be bit-identical to
+    the single-dispatch fused run and fire the callback per chunk."""
+    rng = np.random.default_rng(14)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::3] for i in range(3)]
+    data = pack_blocks(blocks, vocab)
+    test_rows = synth_rows(rng, 80)
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=7, dtype=jnp.float64,
+                     test_loglik_per_iter=True, multi_rhs=True, pcg=True)
+    res_one = AdmmTrainer(data, vocab, cfg, test_rows=test_rows).run_fused()
+
+    calls = []
+
+    def cb(iteration, z, u, diffs, inner_eps, logliks=None):
+        calls.append((iteration, len(logliks or []), float(np.min(diffs))))
+
+    res_chunk = AdmmTrainer(data, vocab, cfg, test_rows=test_rows).run_fused(
+        checkpoint_every=2, callback=cb)
+    np.testing.assert_array_equal(res_chunk.z, res_one.z)
+    np.testing.assert_array_equal(res_chunk.u, res_one.u)
+    assert res_chunk.iterations == res_one.iterations
+    assert res_chunk.sample_loglik_history == res_one.sample_loglik_history
+    # 7 iterations at chunk=2 -> callbacks at it 2,4,6,7 (or fewer if early
+    # stop); every loglik entry delivered exactly once
+    assert [c[0] for c in calls][-1] == res_chunk.iterations
+    assert sum(c[1] for c in calls) == len(res_chunk.sample_loglik_history)
