@@ -358,7 +358,9 @@ def bench_admm():
     data, _w_true = synth_blocked_data(n_features, nblocks, rows, nnz)
     vocab = _make_vocab(n_features)
 
-    lambdas = [1.0, 10.0, 100.0][:n_lambdas]
+    # n=3 gives the canonical [1, 10, 100]; other counts interpolate the
+    # same log range so wider-path runs stay comparable
+    lambdas = [float(v) for v in np.logspace(0, 2, n_lambdas)]
     head_dtype = (jnp.bfloat16 if os.environ.get("BENCH_HEAD_BF16") == "1"
                   else None)
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
