@@ -146,18 +146,26 @@ def pack_blocks_columnar(decoded, row_ids: np.ndarray, partitions: np.ndarray,
 def decode_files_parallel(paths, *, ignore_value: bool = False,
                           map_key: str = "", max_workers: int = 8):
     """Decode several Avro files concurrently. The C++ decoder runs with the
-    GIL released (ctypes), so plain threads give real parallelism."""
+    GIL released (ctypes), so plain threads give real parallelism. Two levels
+    compose: file-level threads here, and block-level threads inside each
+    file's decode (mlease_decode_blocks_mt) — the per-file width is the cpu
+    budget divided by the number of concurrently decoded files."""
+    import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
     from mlease_tpu.io import fast_decode
 
+    ncpu = _os.cpu_count() or 1
     if len(paths) == 1:
         return [fast_decode.decode_file(paths[0], ignore_value=ignore_value,
-                                        map_key=map_key)]
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+                                        map_key=map_key, nthreads=0)]
+    file_workers = min(max_workers, len(paths))
+    per_file = max(1, min(ncpu // file_workers, 8))
+    with ThreadPoolExecutor(max_workers=file_workers) as ex:
         return list(ex.map(
             lambda p: fast_decode.decode_file(p, ignore_value=ignore_value,
-                                              map_key=map_key), paths))
+                                              map_key=map_key,
+                                              nthreads=per_file), paths))
 
 
 def merge_decoded(parts) -> "object":

@@ -573,6 +573,7 @@ def enumerate_avro_files(path: str) -> list[str]:
 
 
 def write_records(path: str, schema: Any, records: Iterable[Any],
-                  codec: str = "deflate") -> None:
-    with AvroFileWriter(path, schema, codec=codec) as w:
+                  codec: str = "deflate", block_records: int = 4096) -> None:
+    with AvroFileWriter(path, schema, codec=codec,
+                        block_records=block_records) as w:
         w.extend(records)

@@ -60,6 +60,12 @@ def _load():
     lib.mlease_decode_block.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int]
+    if hasattr(lib, "mlease_decode_blocks_mt"):
+        lib.mlease_decode_blocks_mt.restype = ctypes.c_int
+        lib.mlease_decode_blocks_mt.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int]
     for name in ("mlease_num_rows", "mlease_num_feats", "mlease_vocab_size",
                  "mlease_vocab_arena_size", "mlease_key_arena_size"):
         getattr(lib, name).restype = ctypes.c_int64
@@ -188,9 +194,14 @@ class DecodedRows:
 
 
 def decode_file(path: str, *, ignore_value: bool = False,
-                map_key: str = "") -> DecodedRows:
+                map_key: str = "", nthreads: int = 0) -> DecodedRows:
     """Decode one Avro container file natively. Raises RuntimeError if the
-    native library is unavailable (check is_available() first)."""
+    native library is unavailable (check is_available() first).
+
+    nthreads > 1 decodes container blocks with that many C++ worker threads
+    (byte-balanced contiguous block ranges, serially merged — result is
+    byte-identical to the sequential decode, including vocabulary id order);
+    0 picks an automatic width, 1 forces sequential."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder unavailable")
@@ -208,13 +219,30 @@ def decode_file(path: str, *, ignore_value: bool = False,
             deflated = 1 if reader.codec == "deflate" else 0
             pos_codec = reader.codec
             reader.codec = "null"  # keep payload compressed; C++ inflates
-            for count, payload in reader.blocks():
-                rc = lib.mlease_decode_block(ctx, payload, len(payload),
-                                             count, deflated)
+            use_mt = (nthreads != 1
+                      and hasattr(lib, "mlease_decode_blocks_mt"))
+            if use_mt:
+                blocks = list(reader.blocks())  # [(count, payload bytes)]
+                n = len(blocks)
+                if nthreads <= 0:
+                    nthreads = min(os.cpu_count() or 1, 8, max(n, 1))
+                datas = (ctypes.c_char_p * n)(*[p for _, p in blocks])
+                sizes = (ctypes.c_int64 * n)(*[len(p) for _, p in blocks])
+                counts = (ctypes.c_int64 * n)(*[c for c, _ in blocks])
+                rc = lib.mlease_decode_blocks_mt(ctx, datas, sizes, counts,
+                                                 n, deflated, nthreads)
                 if rc != 0:
                     raise RuntimeError(
                         f"native decode failed ({rc}): "
                         f"{lib.mlease_error(ctx).decode()}")
+            else:
+                for count, payload in reader.blocks():
+                    rc = lib.mlease_decode_block(ctx, payload, len(payload),
+                                                 count, deflated)
+                    if rc != 0:
+                        raise RuntimeError(
+                            f"native decode failed ({rc}): "
+                            f"{lib.mlease_error(ctx).decode()}")
             reader.codec = pos_codec
 
             n = lib.mlease_num_rows(ctx)

@@ -35,6 +35,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -373,6 +374,64 @@ bool decode_rows(Context& ctx, const uint8_t* data, size_t size, int64_t count) 
     return true;
 }
 
+bool inflate_payload(const uint8_t* data, size_t size,
+                     std::vector<uint8_t>& out, size_t* written,
+                     std::string& error) {
+    out.resize(size * 4 + 4096);
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) { error = "inflateInit2 failed"; return false; }
+    zs.next_in = const_cast<uint8_t*>(data);
+    zs.avail_in = (uInt)size;
+    size_t w = 0;
+    while (true) {
+        if (w == out.size()) out.resize(out.size() * 2);
+        zs.next_out = out.data() + w;
+        zs.avail_out = (uInt)(out.size() - w);
+        int ret = inflate(&zs, Z_NO_FLUSH);
+        w = out.size() - zs.avail_out;
+        if (ret == Z_STREAM_END) break;
+        if (ret != Z_OK) { inflateEnd(&zs); error = "inflate error"; return false; }
+    }
+    inflateEnd(&zs);
+    *written = w;
+    return true;
+}
+
+bool decode_one_block(Context& ctx, const uint8_t* data, size_t size,
+                      int64_t count, bool deflated) {
+    if (!deflated) return decode_rows(ctx, data, size, count);
+    std::vector<uint8_t> out;
+    size_t written = 0;
+    if (!inflate_payload(data, size, out, &written, ctx.error)) return false;
+    return decode_rows(ctx, out.data(), written, count);
+}
+
+// Merge `src` (decoded from a later contiguous range of blocks) into `dst`.
+// Interning src's local vocab into dst in local-id order preserves the exact
+// global first-occurrence id assignment of a sequential decode: every key
+// first seen in dst's block range already has its (earlier) id, and keys new
+// to src's range arrive in their in-range first-occurrence order.
+void merge_context(Context& dst, const Context& src) {
+    std::vector<int32_t> id_map(src.vocab.key_off.size());
+    for (size_t i = 0; i < src.vocab.key_off.size(); i++)
+        id_map[i] = dst.vocab.intern(src.vocab.arena.data() + src.vocab.key_off[i],
+                                     src.vocab.key_len[i]);
+    dst.response.insert(dst.response.end(), src.response.begin(), src.response.end());
+    dst.weight.insert(dst.weight.end(), src.weight.begin(), src.weight.end());
+    dst.offset.insert(dst.offset.end(), src.offset.begin(), src.offset.end());
+    int64_t feat_base = (int64_t)dst.feat_id.size();
+    dst.feat_id.reserve(dst.feat_id.size() + src.feat_id.size());
+    for (int32_t id : src.feat_id) dst.feat_id.push_back(id_map[id]);
+    dst.feat_val.insert(dst.feat_val.end(), src.feat_val.begin(), src.feat_val.end());
+    for (size_t i = 1; i < src.row_start.size(); i++)
+        dst.row_start.push_back(src.row_start[i] + feat_base);
+    int64_t key_base = (int64_t)dst.key_arena.size();
+    dst.key_arena.insert(dst.key_arena.end(), src.key_arena.begin(),
+                         src.key_arena.end());
+    for (size_t i = 1; i < src.key_start.size(); i++)
+        dst.key_start.push_back(src.key_start[i] + key_base);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -402,29 +461,64 @@ void mlease_ctx_free(void* p) {
 int mlease_decode_block(void* p, const uint8_t* data, int64_t size,
                         int64_t count, int deflated) {
     Context* ctx = static_cast<Context*>(p);
-    if (!deflated) {
-        return decode_rows(*ctx, data, (size_t)size, count) ? 0 : -1;
+    return decode_one_block(*ctx, data, (size_t)size, count, deflated != 0)
+        ? 0 : -1;
+}
+
+// Decode many container blocks of ONE file with `nthreads` worker threads.
+// Each worker decodes a contiguous byte-balanced range of blocks into a
+// private context (own vocabulary); the serial merge preserves byte-exact
+// sequential semantics (row order and vocabulary first-occurrence id order).
+// `datas[i]`/`sizes[i]`/`counts[i]` describe block i's payload.
+int mlease_decode_blocks_mt(void* p, const uint8_t* const* datas,
+                            const int64_t* sizes, const int64_t* counts,
+                            int64_t nblocks, int deflated, int nthreads) {
+    Context* ctx = static_cast<Context*>(p);
+    if (nthreads > nblocks) nthreads = (int)nblocks;
+    if (nthreads <= 1) {
+        for (int64_t i = 0; i < nblocks; i++)
+            if (!decode_one_block(*ctx, datas[i], (size_t)sizes[i], counts[i],
+                                  deflated != 0))
+                return -1;
+        return 0;
     }
-    // raw inflate
-    std::vector<uint8_t> out;
-    out.resize((size_t)size * 4 + 4096);
-    z_stream zs{};
-    if (inflateInit2(&zs, -15) != Z_OK) { ctx->error = "inflateInit2 failed"; return -2; }
-    zs.next_in = const_cast<uint8_t*>(data);
-    zs.avail_in = (uInt)size;
-    size_t written = 0;
-    int ret = Z_OK;
-    while (true) {
-        if (written == out.size()) out.resize(out.size() * 2);
-        zs.next_out = out.data() + written;
-        zs.avail_out = (uInt)(out.size() - written);
-        ret = inflate(&zs, Z_NO_FLUSH);
-        written = out.size() - zs.avail_out;
-        if (ret == Z_STREAM_END) break;
-        if (ret != Z_OK) { inflateEnd(&zs); ctx->error = "inflate error"; return -2; }
+    // contiguous ranges balanced by payload bytes
+    int64_t total = 0;
+    for (int64_t i = 0; i < nblocks; i++) total += sizes[i];
+    std::vector<int64_t> starts;
+    starts.push_back(0);
+    int64_t acc = 0;
+    for (int64_t i = 0; i < nblocks && (int)starts.size() < nthreads; i++) {
+        acc += sizes[i];
+        if (acc >= total * (int64_t)starts.size() / nthreads)
+            starts.push_back(i + 1);
     }
-    inflateEnd(&zs);
-    return decode_rows(*ctx, out.data(), written, count) ? 0 : -1;
+    starts.push_back(nblocks);
+    int nshards = (int)starts.size() - 1;
+
+    std::vector<Context> shards(nshards);
+    std::vector<uint8_t> failed(nshards, 0);
+    std::vector<std::thread> threads;
+    for (int s = 0; s < nshards; s++) {
+        shards[s].schema = ctx->schema;
+        shards[s].ignore_value = ctx->ignore_value;
+        shards[s].row_start.push_back(0);
+        shards[s].key_start.push_back(0);
+        threads.emplace_back([&, s]() {
+            for (int64_t i = starts[s]; i < starts[s + 1]; i++)
+                if (!decode_one_block(shards[s], datas[i], (size_t)sizes[i],
+                                      counts[i], deflated != 0)) {
+                    failed[s] = 1;
+                    return;
+                }
+        });
+    }
+    for (auto& t : threads) t.join();
+    for (int s = 0; s < nshards; s++) {
+        if (failed[s]) { ctx->error = shards[s].error; return -1; }
+        merge_context(*ctx, shards[s]);
+    }
+    return 0;
 }
 
 int64_t mlease_num_rows(void* p) {

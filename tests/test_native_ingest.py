@@ -109,6 +109,39 @@ def test_columnar_click_replication(tmp_path):
     assert parts.min() >= 0 and parts.max() < 4
 
 
+def test_threaded_decode_byte_identical(tmp_path):
+    """Multi-threaded block decode must be byte-identical to sequential —
+    same row order, same feature ids/values, same vocabulary id assignment
+    (first-occurrence order over the whole file)."""
+    import random
+
+    from mlease_tpu.io import schemas
+
+    rng = random.Random(11)
+    recs = []
+    for i in range(2000):
+        feats = [{"name": f"f{rng.randrange(300)}",
+                  "term": str(rng.randrange(5)),
+                  "value": rng.uniform(-2, 2)}
+                 for _ in range(rng.randrange(0, 8))]
+        recs.append({"key": str(i % 7), "response": i % 2, "features": feats,
+                     "weight": 1.0 + (i % 3), "offset": 0.125 * (i % 4)})
+    path = str(tmp_path / "mt.avro")
+    avro.write_records(path, schemas.REGRESSION_PREPARE_OUTPUT, recs,
+                       codec="deflate", block_records=100)  # ~20 blocks
+    seq = fast_decode.decode_file(path, map_key="key", nthreads=1)
+    for nt in (2, 4, 7):
+        mt = fast_decode.decode_file(path, map_key="key", nthreads=nt)
+        np.testing.assert_array_equal(mt.response, seq.response)
+        np.testing.assert_array_equal(mt.weight, seq.weight)
+        np.testing.assert_array_equal(mt.offset, seq.offset)
+        np.testing.assert_array_equal(mt.row_start, seq.row_start)
+        np.testing.assert_array_equal(mt.feat_id, seq.feat_id)
+        np.testing.assert_array_equal(mt.feat_val, seq.feat_val)
+        assert mt.vocab_names == seq.vocab_names
+        assert mt.keys == seq.keys
+
+
 def test_multi_file_ingest(tmp_path, sample_data_path):
     """Splitting a dataset across files must yield the same packed data."""
     import numpy as np
