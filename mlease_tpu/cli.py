@@ -50,6 +50,11 @@ def cmd_train(args):
     from mlease_tpu.train.pipeline import run_regression_pipeline
 
     config = _load_config(args.config)
+    if getattr(args, "mesh", None):
+        # --mesh N: shard blocks over the first N devices (overrides the
+        # use.mesh / mesh.devices job keys)
+        config.put("use.mesh", "true")
+        config.put("mesh.devices", str(args.mesh))
     result = run_regression_pipeline(config, dtype=_dtype(config))
     print(json.dumps({
         "iterations": result.iterations,
@@ -438,11 +443,17 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(prog="mlease_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+    # "predict" = working alias of "test" (the reference CLI declares
+    # run:predict but leaves it unimplemented, LibLinear.java:716-720)
     for name, fn in [("train", cmd_train), ("naive", cmd_naive),
                      ("item", cmd_item), ("test", cmd_test),
+                     ("predict", cmd_test),
                      ("loglik", cmd_loglik), ("itemtest", cmd_itemtest)]:
         sp = sub.add_parser(name)
         sp.add_argument("config", help="properties-format job config file")
+        if name == "train":
+            sp.add_argument("--mesh", type=int, default=0, metavar="N",
+                            help="shard blocks over the first N devices")
         sp.set_defaults(fn=fn)
     fit = sub.add_parser("fit")
     fit.add_argument("data", help="input file (libsvm/json/avro)")

@@ -20,13 +20,13 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-from typing import Any
+from typing import Any, Mapping
 
 import jax.numpy as jnp
 import numpy as np
 
 from mlease_tpu.core.dataset import pack_blocks
-from mlease_tpu.core.linear_model import write_model_file
+from mlease_tpu.core.linear_model import read_model_file, write_model_file
 from mlease_tpu.core.prepare import prepare_rows
 from mlease_tpu.core.vocab import build_vocab
 from mlease_tpu.eval.loglik import run_test_loglik
@@ -98,10 +98,12 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
 def run_regression_pipeline(config: JobConfig, mesh=None,
                             dtype=None) -> AdmmResult:
     if mesh is None and config.get_boolean("use.mesh", False):
-        # shard blocks over all visible devices (single-host multi-chip; for
-        # multi-host see parallel/distributed.py)
+        # shard blocks over the visible devices (single-host multi-chip; for
+        # multi-host see parallel/distributed.py). "mesh.devices" selects a
+        # leading subset (0 = all).
         from mlease_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
+        ndev = config.get_int("mesh.devices", 0)
+        mesh = make_mesh(n=ndev if ndev > 0 else None)
         logger.info("mesh over %d devices", mesh.devices.size)
     out_base = config.get_string("output.base.path")
     if config.get_boolean("force.output.overwrite", False):
@@ -214,6 +216,21 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             naive_res.mean_models[_fmt(l)].to_dense(vocab)
             if _fmt(l) in naive_res.mean_models else np.zeros(vocab.size)
             for l in cfg.lambdas])
+
+    # ---- optional lambda-path extension warm start ---------------------
+    # init.model.path: reuse a previous run's final-model as z init — each
+    # lambda starts from the model whose lambda is nearest in log space
+    # (exact-key match wins). Lets a user widen the regularization path
+    # without re-paying the cold ADMM iterations. No reference analogue
+    # (the reference always restarts from zero or a naive mean model).
+    init_model_path = config.get_string("init.model.path", "")
+    if z0 is None and init_model_path:
+        prev_models = read_model_file(init_model_path)
+        z0 = np.stack([
+            _nearest_lambda_model(l, prev_models).to_dense(vocab)
+            for l in cfg.lambdas])
+        logger.info("lambda-path warm start from %s (%d models)",
+                    init_model_path, len(prev_models))
 
     # ---- ADMM train ---------------------------------------------------
     # streaming.groups > 1: the >HBM mode — blocks stay host-resident in N
@@ -393,6 +410,33 @@ def _write_pipeline_outputs(config, result, out_base, test_path,
 def _fmt(lam: float) -> str:
     from mlease_tpu.train.admm import _lambda_key
     return _lambda_key(lam)
+
+
+def _nearest_lambda_model(lam: float, models: Mapping[str, Any]):
+    """Pick the init model for `lam` from a previous run's {lambda-key ->
+    model} map: exact key match if present, else nearest lambda in log
+    space (regularization paths are log-spaced, so log distance matches the
+    statistical similarity of adjacent solutions)."""
+    from mlease_tpu.core.linear_model import LinearModel
+
+    key = _fmt(lam)
+    if key in models:
+        return models[key]
+    best_key, best_d = None, float("inf")
+    for k in models:
+        try:
+            kl = float(k)
+        except ValueError:
+            continue  # non-lambda keys (e.g. item models) are skipped
+        if kl <= 0 or lam <= 0:
+            d = abs(kl - lam)
+        else:
+            d = abs(np.log(kl) - np.log(lam))
+        if d < best_d:
+            best_key, best_d = k, d
+    if best_key is None:
+        return LinearModel()
+    return models[best_key]
 
 
 def _write_tmp_from_columnar(path, decoded, row_ids, partitions, weights,

@@ -35,6 +35,11 @@ class JobConfig(dict):
     def clone(self) -> "JobConfig":
         return JobConfig(self)
 
+    def put(self, key: str, value) -> None:
+        """clone()+put is the reference's sub-job rewiring idiom
+        (Regression.java:50-77)."""
+        self[key] = str(value)
+
     # -- typed getters ---------------------------------------------------
     def _get(self, key: str, default):
         if key in self:

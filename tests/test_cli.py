@@ -269,3 +269,34 @@ def test_cli_fit_option_string_cov_and_binary(tmp_path, capsys):
     # unknown option key raises
     with pytest.raises(ValueError):
         main(["fit", path, "--out", out, "--option", "bogus=1"])
+
+
+def test_cli_predict_alias_and_mesh_flag(tmp_path, capsys):
+    """`predict` scores like `test` (the reference declares run:predict but
+    throws, LibLinear.java:716-720); `--mesh N` shards training blocks over
+    the first N virtual devices with identical results."""
+    data = synth_avro(tmp_path)
+    out = str(tmp_path / "outp")
+    job = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out, "test.path": data,
+        "num.blocks": 4, "lambda": "1", "num.iters": 3, "regularizer": 2,
+        "force.output.overwrite": "true", "dtype": "float64"})
+    assert main(["train", job, "--mesh", "4"]) == 0
+    r_mesh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out2 = str(tmp_path / "outp2")
+    job2 = write_job(tmp_path, **{
+        "input.paths": data, "output.base.path": out2, "test.path": data,
+        "num.blocks": 4, "lambda": "1", "num.iters": 3, "regularizer": 2,
+        "force.output.overwrite": "true", "dtype": "float64"})
+    assert main(["train", job2]) == 0
+    r_plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r_mesh["best_loglik"] == pytest.approx(r_plain["best_loglik"],
+                                                  rel=1e-9)
+
+    score_out = str(tmp_path / "pred_out")
+    job_p = write_job(tmp_path, **{
+        "input.paths": data, "model.base.path": out,
+        "output.base.path": score_out, "lambda": "1.0"})
+    assert main(["predict", job_p]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["outputs"]

@@ -304,3 +304,42 @@ def test_pipeline_write_train_output(tmp_path):
     # remove.tmp.dir=false keeps every iteration dir
     for it in range(1, last + 1):
         assert os.path.isdir(os.path.join(out, f"iter-{it}"))
+
+
+def test_lambda_path_extension_warm_start(tmp_path):
+    """init.model.path warm-starts a widened lambda path from a previous
+    run's final-model: each new lambda inits from the nearest log-lambda
+    model (exact-key match wins), measurably closer to the solution than a
+    zero init on iteration 1."""
+    from mlease_tpu.train.pipeline import (_nearest_lambda_model,
+                                           run_regression_pipeline)
+
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+
+    def cfg(out, lambdas, iters, **extra):
+        base = {
+            "input.paths": path, "output.base.path": str(tmp_path / out),
+            "num.blocks": "4", "lambda": lambdas, "num.iters": str(iters),
+            "regularizer": "2",
+            "force.output.overwrite": "true", "dtype": "float64"}
+        base.update(extra)
+        return JobConfig(base)
+
+    run_regression_pipeline(cfg("a", "1,100", 20))
+    warm = run_regression_pipeline(cfg(
+        "b", "1,10,100", 5,
+        **{"init.model.path": str(tmp_path / "a" / "final-model")}))
+    cold = run_regression_pipeline(cfg("c", "1,10,100", 5))
+    # iteration-1 movement from a warm init is far smaller than from zero
+    # for every lambda (exact matches 1/100 and the log-nearest init for 10)
+    w1 = np.array(list(warm.diff_history[0].values()))
+    c1 = np.array(list(cold.diff_history[0].values()))
+    assert (w1 < 0.75 * c1).all(), (w1, c1)
+
+    # helper semantics: exact match beats log-nearest; non-float keys skipped
+    models = {"1.0": "m1", "10.0": "m10", "junk#key": "bad"}
+    assert _nearest_lambda_model(1.0, models) == "m1"
+    assert _nearest_lambda_model(3.0, models) == "m1"     # log-nearer to 1
+    assert _nearest_lambda_model(4.0, models) == "m10"    # log-nearer to 10
