@@ -30,7 +30,7 @@ of scheduling+shuffle+IO alone, so vs_baseline = iterations_per_s * 30.0
 (i.e. how many times faster than one 30-second MapReduce round per iteration).
 
 Scale knobs via env: BENCH_FEATURES, BENCH_BLOCKS, BENCH_ROWS (per block),
-BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS, BENCH_MODE (admm|item|convergence),
+BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS, BENCH_MODE (admm|item|convergence|ingest),
 BENCH_DEADLINE.
 """
 
@@ -251,6 +251,80 @@ def bench_item_models():
         "vs_baseline": round((n_models / steady_s) / (1000 / 30.0), 1),
         "detail": {"steady_s": round(steady_s, 2),
                    "cold_s": round(cold_s, 2), "models": n_models},
+    }
+    _emit(_RESULT)
+
+
+def bench_ingest():
+    """BENCH_MODE=ingest: native Avro decode throughput (rows/s) — the
+    counterpart of the reference's per-reducer dataset build
+    (LibLinearDataset.addInstanceAvro + Avro container streaming,
+    LibLinearDataset.java:413-484). Writes a deflate-compressed synthetic
+    CTR-style file once, then measures sequential and threaded decode."""
+    global _RESULT, _PHASE
+    import tempfile
+
+    from mlease_tpu.io import avro, fast_decode
+
+    if not fast_decode.is_available():
+        _emit({"metric": "ingest_rows_per_s", "value": 0.0,
+               "unit": "rows/s (native decoder unavailable)",
+               "vs_baseline": 0.0, "detail": {}})
+        return
+
+    n_rows = int(os.environ.get("BENCH_INGEST_ROWS", 200_000))
+    nnz = int(os.environ.get("BENCH_INGEST_NNZ", 12))
+    n_feat = int(os.environ.get("BENCH_INGEST_FEATURES", 50_000))
+
+    _PHASE = "ingest-datagen"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"mlease_ingest_{n_rows}_{nnz}_{n_feat}.avro")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(0)
+        schema = {"type": "record", "name": "Row", "fields": [
+            {"name": "response", "type": "int"},
+            {"name": "weight", "type": "float"},
+            {"name": "offset", "type": "float"},
+            {"name": "features", "type": {"type": "array", "items": {
+                "type": "record", "name": "Feat", "fields": [
+                    {"name": "name", "type": "string"},
+                    {"name": "term", "type": "string"},
+                    {"name": "value", "type": "float"}]}}}]}
+        cols = ((rng.zipf(1.3, size=(n_rows, nnz)) - 1) % n_feat)
+        vals = rng.normal(size=(n_rows, nnz)).astype(np.float32)
+        with avro.AvroFileWriter(path, schema, codec="deflate",
+                                 block_records=2000) as w:
+            for i in range(n_rows):
+                w.append({"response": int(i % 2), "weight": 1.0,
+                          "offset": 0.0,
+                          "features": [{"name": f"f{c}", "term": "",
+                                        "value": float(v)}
+                                       for c, v in zip(cols[i], vals[i])]})
+
+    def run(nthreads):
+        t0 = time.monotonic()
+        d = fast_decode.decode_file(path, nthreads=nthreads)
+        return time.monotonic() - t0, d
+
+    _PHASE = "ingest-seq"
+    seq_s, d = run(1)
+    _RESULT = {
+        "metric": "ingest_rows_per_s", "value": round(n_rows / seq_s, 0),
+        "unit": f"rows/s (sequential, {nnz} nnz/row, deflate, "
+                f"{len(d.vocab_names)} vocab)",
+        "vs_baseline": 1.0,
+        "detail": {"seq_s": round(seq_s, 3)},
+    }
+    _PHASE = "ingest-mt"
+    mt_s, d = run(0)  # auto width
+    _RESULT = {
+        "metric": "ingest_rows_per_s", "value": round(n_rows / mt_s, 0),
+        "unit": f"rows/s (threaded, {nnz} nnz/row, deflate, "
+                f"{len(d.vocab_names)} vocab, {os.cpu_count()} cpus)",
+        "vs_baseline": round(seq_s / mt_s, 2),   # speedup over sequential
+        "detail": {"seq_s": round(seq_s, 3), "mt_s": round(mt_s, 3),
+                   "mfeat_per_s": round(len(d.feat_id) / mt_s / 1e6, 2),
+                   "rows": n_rows},
     }
     _emit(_RESULT)
 
@@ -506,6 +580,8 @@ def main():
         return bench_item_models()
     if mode == "convergence":
         return bench_convergence()
+    if mode == "ingest":
+        return bench_ingest()
     return bench_admm()
 
 
