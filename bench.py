@@ -14,8 +14,8 @@ cache hit cuts the heavy while-loop program's compile from ~16 s to ~5 s.
 
 Roofline accounting: the solver returns lock-step loop-trip counters
 (ops/tron_multi.py MultiTronResult.newton_trips/cg_trips); every CG trip costs
-one Hv = 2 passes over the data, every Newton trip ~4 passes (fun + grad +
-Jacobi diag). From the analytic per-pass FLOP/byte model of the hybrid layout
+one Hv = 2 passes over the data, every Newton trip 3 passes (fused f/g/D at
+the trial point + Jacobi diag). From the analytic per-pass FLOP/byte model of the hybrid layout
 (dense head MXU matmul + ELL/COO gathers) we report achieved FLOP/s, HBM
 bandwidth, mfu and bw_util against the chip's peaks. The workload is
 gather-bound, so bw_util is the number that measures distance from
@@ -523,8 +523,9 @@ def bench_admm():
         cg_total += cg
 
     # data passes per ADMM iteration (see ops/tron_multi.py): fixed setup
-    # (grad@0 2, fun+grad@W0 3, Jacobi diag 1) + 4/Newton trip + 2/CG trip
-    passes = (6.0 + 4.0 * nt_total / iters + 2.0 * cg_total / iters)
+    # (grad@0 2, fused f/g/D@W0 2, Jacobi diag 1) + 3/Newton trip (fused
+    # f/g/D at the trial point 2 + Jacobi diag 1) + 2/CG trip (Hv)
+    passes = (5.0 + 3.0 * nt_total / iters + 2.0 * cg_total / iters)
     roof = _roofline(trainer.data, n_lambdas, head_bytes, passes,
                      steady_iter_s)
 

@@ -122,6 +122,25 @@ def grad_and_curvature(prob: MultiProblem, W: jax.Array):
     return G, Dm
 
 
+def fun_grad_curvature(prob: MultiProblem, W: jax.Array):
+    """Objective + gradient + curvature sharing ONE scores pass.
+
+    fun() and grad_and_curvature() each run a full Xv pass over the block's
+    data to form the same scores; the TRON Newton body needs all three
+    quantities at the same W, so computing them together saves one Xv data
+    pass per Newton trip (the workload is bandwidth-bound — DESIGN.md §3).
+    Exactly equal to (fun(prob, W), *grad_and_curvature(prob, W))."""
+    yz = prob.y[:, None] * scores(prob, W)
+    dw = W - prob.prior_mean
+    F = (jnp.sum(prob.weight[:, None] * jnp.logaddexp(0.0, -yz), axis=0)
+         + 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0))
+    p = jax.nn.sigmoid(yz)
+    coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
+    G = xtv(prob, coeff) + dw * prob.prior_var_inv
+    Dm = prob.weight[:, None] * p * (1.0 - p)
+    return F, G, Dm
+
+
 def hv(prob: MultiProblem, Dm: jax.Array, S: jax.Array) -> jax.Array:
     return xtv(prob, Dm * xv(prob, S)) + S * prob.prior_var_inv
 
@@ -273,8 +292,7 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0))
     gnorm1 = _norm(G0)
 
-    F = fun(prob, W0)
-    G, Dm = grad_and_curvature(prob, W0)
+    F, G, Dm = fun_grad_curvature(prob, W0)
     gnorm = _norm(G)
 
     def make_M(Dm_cur):
@@ -301,7 +319,10 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         W_new = W + S
         gs = _dot(G, S)
         prered = -0.5 * (gs - _dot(S, Rres))
-        F_new = fun(prob, W_new)
+        # one fused data pass yields f/g/D at the trial point; on rejection
+        # G_new/Dm_new are discarded by the accept select below, exactly as
+        # the unfused code discarded its recomputation at the old W
+        F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new)
         actred = F - F_new
 
         delta = jnp.where(it == 1, jnp.minimum(delta, snorm), delta)
@@ -327,7 +348,6 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         accept = jnp.logical_and(active, actred > ETA0 * prered)
         W_out = jnp.where(accept[None, :], W_new, W)
         F_out = jnp.where(accept, F_new, F)
-        G_new, Dm_new = grad_and_curvature(prob, W_out)
         G_out = jnp.where(accept[None, :], G_new, G)
         Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
         gnorm_out = jnp.where(accept, _norm(G_new), gnorm)
