@@ -523,9 +523,10 @@ def bench_admm():
         cg_total += cg
 
     # data passes per ADMM iteration (see ops/tron_multi.py): fixed setup
-    # (grad@0 2, fused f/g/D@W0 2, Jacobi diag 1) + 3/Newton trip (fused
-    # f/g/D at the trial point 2 + Jacobi diag 1) + 2/CG trip (Hv)
-    passes = (5.0 + 3.0 * nt_total / iters + 2.0 * cg_total / iters)
+    # (grad@0 2, fused f/g/D+diag@W0 2.5) + 2.5/Newton trip (scores xv 1 +
+    # combined grad/diag scatter 1.5 — xtv_and_sqdiag reads idx/val/rows
+    # once for both outputs) + 2/CG trip (Hv)
+    passes = (4.5 + 2.5 * nt_total / iters + 2.0 * cg_total / iters)
     roof = _roofline(trainer.data, n_lambdas, head_bytes, passes,
                      steady_iter_s)
 

@@ -122,22 +122,72 @@ def grad_and_curvature(prob: MultiProblem, W: jax.Array):
     return G, Dm
 
 
-def fun_grad_curvature(prob: MultiProblem, W: jax.Array):
+def xtv_and_sqdiag(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
+    """(X'C, (X∘X)'Dm) in ONE combined scatter over an (n, 2L) slab.
+
+    The gradient accumulation and the Jacobi hessian-diagonal visit the same
+    nonzeros; concatenating their per-nonzero contributions lane-wise lets a
+    single scatter/segment-sum read indices+values (and gather the row pair)
+    once instead of twice — per-lane sums are bitwise those of xtv() and the
+    data part of hessian_diagonal()."""
+    n, L = prob.prior_mean.shape
+    out = jnp.zeros((n, 2 * L), dtype=C.dtype)
+    if prob.indices.shape[-1] > 0:
+        v = prob.values[..., None]
+        contrib = jnp.concatenate(
+            [v * C[:, None, :], (v * v) * Dm[:, None, :]],
+            axis=-1).reshape(-1, 2 * L)
+        out = out.at[prob.indices.reshape(-1)].add(contrib)
+    if prob.head_x is not None:
+        gh = jnp.dot(prob.head_x.T, C, preferred_element_type=C.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        dh = jnp.dot((prob.head_x * prob.head_x).T, Dm,
+                     preferred_element_type=Dm.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        out = out.at[prob.head_ids].add(jnp.concatenate([gh, dh], axis=-1))
+    if prob.tail_c_cols is not None:
+        rows = jnp.concatenate([C, Dm], axis=-1)[prob.tail_c_rows]  # 1 gather
+        tv = prob.tail_c_vals[:, None]
+        contrib = jnp.concatenate([tv * rows[:, :L],
+                                   (tv * tv) * rows[:, L:]], axis=-1)
+        out = out + jax.ops.segment_sum(contrib, prob.tail_c_cols,
+                                        num_segments=n,
+                                        indices_are_sorted=True)
+    elif prob.tail_cols is not None:
+        rows = jnp.concatenate([C, Dm], axis=-1)[prob.tail_rows]
+        tv = prob.tail_vals[:, None]
+        out = out.at[prob.tail_cols].add(
+            jnp.concatenate([tv * rows[:, :L], (tv * tv) * rows[:, L:]],
+                            axis=-1))
+    return out[:, :L], out[:, L:]
+
+
+def fun_grad_curvature(prob: MultiProblem, W: jax.Array,
+                       with_diag: bool = False):
     """Objective + gradient + curvature sharing ONE scores pass.
 
     fun() and grad_and_curvature() each run a full Xv pass over the block's
     data to form the same scores; the TRON Newton body needs all three
     quantities at the same W, so computing them together saves one Xv data
     pass per Newton trip (the workload is bandwidth-bound — DESIGN.md §3).
-    Exactly equal to (fun(prob, W), *grad_and_curvature(prob, W))."""
+    Exactly equal to (fun(prob, W), *grad_and_curvature(prob, W)).
+
+    with_diag=True additionally returns the Jacobi hessian diagonal, riding
+    the gradient's scatter via xtv_and_sqdiag (equal to
+    hessian_diagonal(prob, Dm)) — the whole Newton-trip state refresh in
+    ~2 effective data passes."""
     yz = prob.y[:, None] * scores(prob, W)
     dw = W - prob.prior_mean
     F = (jnp.sum(prob.weight[:, None] * jnp.logaddexp(0.0, -yz), axis=0)
          + 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0))
     p = jax.nn.sigmoid(yz)
     coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
-    G = xtv(prob, coeff) + dw * prob.prior_var_inv
     Dm = prob.weight[:, None] * p * (1.0 - p)
+    if with_diag:
+        Gd, Hd = xtv_and_sqdiag(prob, coeff, Dm)
+        return (F, Gd + dw * prob.prior_var_inv, Dm,
+                Hd + prob.prior_var_inv)
+    G = xtv(prob, coeff) + dw * prob.prior_var_inv
     return F, G, Dm
 
 
@@ -292,37 +342,44 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0))
     gnorm1 = _norm(G0)
 
-    F, G, Dm = fun_grad_curvature(prob, W0)
-    gnorm = _norm(G)
-
-    def make_M(Dm_cur):
-        if not precondition:
-            return None
-        return jnp.maximum(hessian_diagonal(prob, Dm_cur), 1e-12)
-
-    M0 = make_M(Dm)
+    # the Jacobi preconditioner M = diag(H) is a pure function of the carried
+    # Dm; computing it fused with f/g/D (xtv_and_sqdiag) and carrying it in
+    # loop state spends ~half a data pass per Newton trip instead of a full
+    # standalone hessian_diagonal pass
     if precondition:
+        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True)
+        M0 = jnp.maximum(Hd0, 1e-12)
+        gnorm = _norm(G)
         delta = jnp.sqrt(_dot(G, G / M0))
     else:
+        F, G, Dm = fun_grad_curvature(prob, W0)
+        M0 = jnp.zeros((1, 1), dtype)  # placeholder: never read
+        gnorm = _norm(G)
         delta = gnorm
     stall_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
 
     def cond(state):
-        W, F, G, Dm, delta, gnorm, it, active, trips, cg_trips = state
+        W, F, G, Dm, M, delta, gnorm, it, active, trips, cg_trips = state
         return jnp.any(jnp.logical_and(active, it <= max_iter))
 
     def body(state):
-        W, F, G, Dm, delta, gnorm, it, active, trips, cg_trips = state
+        W, F, G, Dm, M, delta, gnorm, it, active, trips, cg_trips = state
 
-        M = make_M(Dm)
-        S, Rres, snorm, cg_it = _trcg(prob, Dm, G, delta, max_cg_iter, M)
+        S, Rres, snorm, cg_it = _trcg(prob, Dm, G, delta, max_cg_iter,
+                                      M if precondition else None)
         W_new = W + S
         gs = _dot(G, S)
         prered = -0.5 * (gs - _dot(S, Rres))
-        # one fused data pass yields f/g/D at the trial point; on rejection
-        # G_new/Dm_new are discarded by the accept select below, exactly as
-        # the unfused code discarded its recomputation at the old W
-        F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new)
+        # one fused data pass yields f/g/D (+ diag) at the trial point; on
+        # rejection the accept select below discards them, exactly as the
+        # unfused code discarded its recomputation at the old W
+        if precondition:
+            F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
+                prob, W_new, with_diag=True)
+            M_new = jnp.maximum(Hd_new, 1e-12)
+        else:
+            F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new)
+            M_new = M
         actred = F - F_new
 
         delta = jnp.where(it == 1, jnp.minimum(delta, snorm), delta)
@@ -350,6 +407,7 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         F_out = jnp.where(accept, F_new, F)
         G_out = jnp.where(accept[None, :], G_new, G)
         Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
+        M_out = jnp.where(accept[None, :], M_new, M) if precondition else M
         gnorm_out = jnp.where(accept, _norm(G_new), gnorm)
         it_out = it + jnp.where(accept, 1, 0)
 
@@ -362,14 +420,15 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
             jnp.logical_and(jnp.abs(actred) <= stall_rtol * jnp.abs(F_out),
                             jnp.abs(prered) <= stall_rtol * jnp.abs(F_out)))
         done = jnp.logical_and(done, active)  # frozen lanes keep their state
-        return (W_out, F_out, G_out, Dm_out, delta_new, gnorm_out, it_out,
-                jnp.logical_and(active, ~done), trips + 1, cg_trips + cg_it)
+        return (W_out, F_out, G_out, Dm_out, M_out, delta_new, gnorm_out,
+                it_out, jnp.logical_and(active, ~done), trips + 1,
+                cg_trips + cg_it)
 
     active0 = gnorm > eps * gnorm1
-    init = (W0, F, G, Dm, delta, gnorm,
+    init = (W0, F, G, Dm, M0, delta, gnorm,
             jnp.ones(L, jnp.int32), active0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    W, F, G, Dm, delta, gnorm, it, _active, trips, cg_trips = \
+    W, F, G, Dm, _M, delta, gnorm, it, _active, trips, cg_trips = \
         jax.lax.while_loop(cond, body, init)
     return MultiTronResult(w=W, f=F, gnorm=gnorm, iterations=it - 1,
                            converged=gnorm <= eps * gnorm1,

@@ -15,7 +15,7 @@ from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
 from test_admm import synth_rows
 
 
-def make_multi(rows, vocab, pvis, pms, hybrid=False):
+def make_multi(rows, vocab, pvis, pms, hybrid=False, col_tails=False):
     data = pack_blocks([rows], vocab)
     if hybrid:
         data = to_hybrid(data, head_size=4)
@@ -26,6 +26,11 @@ def make_multi(rows, vocab, pvis, pms, hybrid=False):
                   tail_rows=jnp.asarray(data.tail_rows[0]),
                   tail_cols=jnp.asarray(data.tail_cols[0]),
                   tail_vals=jnp.asarray(data.tail_vals[0], jnp.float64))
+        if col_tails:
+            kw.update(tail_c_rows=jnp.asarray(data.tail_c_rows[0]),
+                      tail_c_cols=jnp.asarray(data.tail_c_cols[0]),
+                      tail_c_vals=jnp.asarray(data.tail_c_vals[0],
+                                              jnp.float64))
     mp = MultiProblem(
         indices=jnp.asarray(data.indices[0]),
         values=jnp.asarray(data.values[0], jnp.float64),
@@ -83,6 +88,35 @@ def test_multi_objective_consistency():
                                    rtol=1e-11, atol=1e-12)
         np.testing.assert_allclose(np.asarray(d_m[:, i]), np.asarray(d_s),
                                    rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("layout", ["ell", "hybrid", "hybrid_col"])
+def test_fused_grad_diag_exact(layout):
+    """fun_grad_curvature(with_diag=True) ≡ (fun, grad, curv, hessian_diag)
+    on every tail layout — the combined (n, 2L) scatter must be bitwise-
+    equivalent lane sums."""
+    import mlease_tpu.ops.tron_multi as tm
+
+    rng = np.random.default_rng(6)
+    rows = synth_rows(rng, 120)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, lam) for lam in (0.5, 2.0, 8.0)])
+    pms = np.stack([np.full(n, m) for m in (0.0, 0.05, -0.05)])
+    _data, mp = make_multi(rows, vocab, pvis, pms,
+                           hybrid=layout != "ell",
+                           col_tails=layout == "hybrid_col")
+    W = jnp.asarray(rng.normal(size=(n, 3)) * 0.3)
+
+    F, G, Dm = tm.fun_grad_curvature(mp, W)
+    F2, G2, Dm2, Hd = tm.fun_grad_curvature(mp, W, with_diag=True)
+    np.testing.assert_allclose(np.asarray(F2), np.asarray(F), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(Dm2), np.asarray(Dm))
+    np.testing.assert_allclose(np.asarray(Hd),
+                               np.asarray(tm.hessian_diagonal(mp, Dm)),
+                               rtol=1e-12, atol=1e-14)
 
 
 @pytest.mark.parametrize("head_size", [0, 4])
