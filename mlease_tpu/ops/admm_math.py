@@ -113,6 +113,34 @@ def z_update_l1(xbar_plus_ubar, lam_vec, rho: float, nblocks: int,
     return z
 
 
+def z_update_l2_masked(xbar_plus_ubar, lam_vec, rho: float, nblocks: int,
+                       intercept_mask=None):
+    """z_update_l2 with the unpenalized intercept selected by a boolean mask
+    instead of a scalar index — the feature-sharded form, where each shard
+    holds a local slice and only one shard's mask is nonzero
+    (train/feature_sharded.py). Equal to z_update_l2 when the mask is the
+    intercept one-hot."""
+    nrho = nblocks * rho
+    z = (nrho / (lam_vec + nrho)) * xbar_plus_ubar
+    if intercept_mask is not None:
+        z = jnp.where(intercept_mask, xbar_plus_ubar, z)
+    return z
+
+
+def z_update_l1_masked(xbar_plus_ubar, lam_vec, rho: float, nblocks: int,
+                       intercept_mask=None, reference_compat: bool = False):
+    """Mask-based z_update_l1 (see z_update_l2_masked)."""
+    t = lam_vec / (rho * nblocks)
+    v = xbar_plus_ubar
+    if reference_compat:
+        z = jnp.where(v > t, v - t, jnp.where(v < -t, v + t, v))
+    else:
+        z = jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
+    if intercept_mask is not None:
+        z = jnp.where(intercept_mask, v, z)
+    return z
+
+
 def u_update(u, x, z):
     """u <- (u + x) - z (computeU, RegressionAdmmTrain.java:736-765; on-device
     this runs right after the z-update instead of at the start of the next

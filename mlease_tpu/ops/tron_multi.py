@@ -56,8 +56,21 @@ class MultiProblem(NamedTuple):
         return self.prior_mean.shape[1]
 
 
-def xv(prob: MultiProblem, V: jax.Array) -> jax.Array:
-    """(n, L) -> (R, L) scores for all lambda lanes in one data pass."""
+def _psum(x: jax.Array, axis_name: str | None) -> jax.Array:
+    """Feature-model-parallel hook: when the problem's coefficient axis is
+    sharded over a mesh axis (each device holds a column shard with local
+    ids — see core/feature_shard.py), row-space partials are summed over it;
+    axis_name=None is the single-shard identity."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def xv(prob: MultiProblem, V: jax.Array,
+       axis_name: str | None = None) -> jax.Array:
+    """(n, L) -> (R, L) scores for all lambda lanes in one data pass.
+
+    Under feature sharding each device computes the partial scores of its
+    columns; the psum over `axis_name` assembles full rows (the only
+    collective in the matvec pair — X'v is column-local)."""
     R = prob.y.shape[0]
     L = V.shape[1]
     if prob.indices.shape[-1] > 0:
@@ -76,7 +89,7 @@ def xv(prob: MultiProblem, V: jax.Array) -> jax.Array:
         out = out + jax.ops.segment_sum(contrib, prob.tail_rows,
                                         num_segments=R,
                                         indices_are_sorted=True)
-    return out
+    return _psum(out, axis_name)
 
 
 def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
@@ -100,21 +113,29 @@ def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
     return out
 
 
-def scores(prob: MultiProblem, W: jax.Array) -> jax.Array:
-    return xv(prob, W) + prob.offset[:, None]
+def scores(prob: MultiProblem, W: jax.Array,
+           axis_name: str | None = None) -> jax.Array:
+    return xv(prob, W, axis_name) + prob.offset[:, None]
 
 
-def fun(prob: MultiProblem, W: jax.Array) -> jax.Array:
-    """(L,) objective values."""
-    yz = prob.y[:, None] * scores(prob, W)
+def fun(prob: MultiProblem, W: jax.Array,
+        axis_name: str | None = None) -> jax.Array:
+    """(L,) objective values.
+
+    Sharded: the data loss is a row-space sum of already-assembled scores
+    (identical on every shard), only the prior term reduces over the sharded
+    feature axis."""
+    yz = prob.y[:, None] * scores(prob, W, axis_name)
     data_loss = jnp.sum(prob.weight[:, None] * jnp.logaddexp(0.0, -yz),
                         axis=0)
     dw = W - prob.prior_mean
-    return data_loss + 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0)
+    prior = 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0)
+    return data_loss + _psum(prior, axis_name)
 
 
-def grad_and_curvature(prob: MultiProblem, W: jax.Array):
-    yz = prob.y[:, None] * scores(prob, W)
+def grad_and_curvature(prob: MultiProblem, W: jax.Array,
+                       axis_name: str | None = None):
+    yz = prob.y[:, None] * scores(prob, W, axis_name)
     p = jax.nn.sigmoid(yz)
     coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
     G = xtv(prob, coeff) + (W - prob.prior_mean) * prob.prior_var_inv
@@ -163,7 +184,8 @@ def xtv_and_sqdiag(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
 
 
 def fun_grad_curvature(prob: MultiProblem, W: jax.Array,
-                       with_diag: bool = False):
+                       with_diag: bool = False,
+                       axis_name: str | None = None):
     """Objective + gradient + curvature sharing ONE scores pass.
 
     fun() and grad_and_curvature() each run a full Xv pass over the block's
@@ -176,10 +198,11 @@ def fun_grad_curvature(prob: MultiProblem, W: jax.Array,
     the gradient's scatter via xtv_and_sqdiag (equal to
     hessian_diagonal(prob, Dm)) — the whole Newton-trip state refresh in
     ~2 effective data passes."""
-    yz = prob.y[:, None] * scores(prob, W)
+    yz = prob.y[:, None] * scores(prob, W, axis_name)
     dw = W - prob.prior_mean
     F = (jnp.sum(prob.weight[:, None] * jnp.logaddexp(0.0, -yz), axis=0)
-         + 0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0))
+         + _psum(0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=0),
+                 axis_name))
     p = jax.nn.sigmoid(yz)
     coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
     Dm = prob.weight[:, None] * p * (1.0 - p)
@@ -191,8 +214,9 @@ def fun_grad_curvature(prob: MultiProblem, W: jax.Array,
     return F, G, Dm
 
 
-def hv(prob: MultiProblem, Dm: jax.Array, S: jax.Array) -> jax.Array:
-    return xtv(prob, Dm * xv(prob, S)) + S * prob.prior_var_inv
+def hv(prob: MultiProblem, Dm: jax.Array, S: jax.Array,
+       axis_name: str | None = None) -> jax.Array:
+    return xtv(prob, Dm * xv(prob, S, axis_name)) + S * prob.prior_var_inv
 
 
 def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
@@ -235,22 +259,26 @@ class MultiTronResult(NamedTuple):
     cg_trips: jax.Array = jnp.int32(0)      # total CG body executions (1 Hv each)
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=0)        # (L,)
+def _dot(a, b, axis_name: str | None = None):
+    return _psum(jnp.sum(a * b, axis=0), axis_name)        # (L,)
 
 
-def _norm(a):
-    return jnp.sqrt(jnp.sum(a * a, axis=0))
+def _norm(a, axis_name: str | None = None):
+    return jnp.sqrt(_psum(jnp.sum(a * a, axis=0), axis_name))
 
 
 def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
-          M: jax.Array | None = None):
+          M: jax.Array | None = None, axis_name: str | None = None):
     """Per-lane truncated CG with lock-step data passes (Tron.java:126-179).
 
     With a Jacobi preconditioner M = diag(H) (Hsia et al. 2018, as adopted by
     liblinear >= 2.30 — an improvement over the reference's unpreconditioned
     TRON), the trust region is measured in the M-norm and the residual test
     uses ||r||_{M^-1}; M=None reproduces the reference exactly.
+
+    Sharded CG state (s/r/z/d and M) is column-local; every scalar reduction
+    goes through the psum'd dots, so all (L,) trust-region scalars stay
+    replicated across shards and the while_loop lock-steps by construction.
     """
     zero = jnp.zeros_like(G)
 
@@ -258,15 +286,15 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
         def precond(r):
             return r
         def mdot(a, b):
-            return _dot(a, b)
+            return _dot(a, b, axis_name)
     else:
         def precond(r):
             return r / M
         def mdot(a, b):
-            return jnp.sum(a * M * b, axis=0)
+            return _psum(jnp.sum(a * M * b, axis=0), axis_name)
 
     z0 = precond(-G)
-    cgtol = 0.1 * jnp.sqrt(_dot(-G, z0))
+    cgtol = 0.1 * jnp.sqrt(_dot(-G, z0, axis_name))
 
     def cond(state):
         s, r, z, d, rz, it, done = state
@@ -274,10 +302,10 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
 
     def body(state):
         s, r, z, d, rz, it, done = state
-        small = jnp.sqrt(jnp.maximum(_dot(r, z), 0.0)) <= cgtol
+        small = jnp.sqrt(jnp.maximum(_dot(r, z, axis_name), 0.0)) <= cgtol
 
-        Hd = hv(prob, Dm, d)
-        dHd = _dot(d, Hd)
+        Hd = hv(prob, Dm, d, axis_name)
+        dHd = _dot(d, Hd, axis_name)
         alpha = jnp.where(dHd > 0, rz / jnp.where(dHd > 0, dHd, 1.0), 0.0)
         s_try = s + alpha * d
         boundary = jnp.sqrt(mdot(s_try, s_try)) > delta
@@ -300,7 +328,7 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
         r_bnd = r - alpha_b * Hd
         r_int = r - alpha * Hd
         z_int = precond(r_int)
-        rz_new = _dot(r_int, z_int)
+        rz_new = _dot(r_int, z_int, axis_name)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         d_int = z_int + beta * d
 
@@ -316,17 +344,20 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
         done_out = jnp.logical_or(done, jnp.logical_or(small, take_bnd))
         return (s_out, r_out, z_out, d_out, rz_out, it + 1, done_out)
 
-    init = (zero, -G, z0, z0, _dot(-G, z0), jnp.asarray(0, jnp.int32),
-            jnp.zeros(G.shape[1], bool))
+    init = (zero, -G, z0, z0, _dot(-G, z0, axis_name),
+            jnp.asarray(0, jnp.int32), jnp.zeros(G.shape[1], bool))
     s, r, _z, _d, _rz, it, _done = jax.lax.while_loop(cond, body, init)
     snorm = jnp.sqrt(jnp.maximum(mdot(s, s), 0.0))
     return s, r, snorm, it
 
 
-@partial(jax.jit, static_argnames=("max_iter", "max_cg_iter", "precondition"))
+@partial(jax.jit,
+         static_argnames=("max_iter", "max_cg_iter", "precondition",
+                          "axis_name"))
 def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
                max_iter: int = 1000, max_cg_iter: int = 500,
-               precondition: bool = False) -> MultiTronResult:
+               precondition: bool = False,
+               axis_name: str | None = None) -> MultiTronResult:
     """Warm-started TRON over L simultaneous lambda-problems (Tron.java:30-124
     per lane; stall thresholds as in mlease_tpu.ops.tron).
 
@@ -334,27 +365,36 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     region (one hessian-diagonal pass per Newton step buys fewer CG data
     passes); the outer stopping rule (euclidean ||g|| <= eps*||g0||) is
     unchanged, so converged results match the reference path within
-    tolerance."""
+    tolerance.
+
+    axis_name names a mesh axis over which the coefficient/feature dimension
+    is sharded (feature model parallelism for n that exceed one chip's HBM):
+    the problem's column arrays carry shard-local ids, W0/prior_* are the
+    local (n_shard, L) slices, and the solve inserts exactly one psum per Xv
+    plus psum'd scalar dots — every (L,) trust-region scalar is replicated,
+    so the while_loops lock-step across shards by construction. Requires
+    running inside shard_map (see train/feature_sharded.py)."""
     dtype = W0.dtype
     L = W0.shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
 
-    G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0))
-    gnorm1 = _norm(G0)
+    G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0), axis_name)
+    gnorm1 = _norm(G0, axis_name)
 
     # the Jacobi preconditioner M = diag(H) is a pure function of the carried
     # Dm; computing it fused with f/g/D (xtv_and_sqdiag) and carrying it in
     # loop state spends ~half a data pass per Newton trip instead of a full
     # standalone hessian_diagonal pass
     if precondition:
-        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True)
+        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True,
+                                           axis_name=axis_name)
         M0 = jnp.maximum(Hd0, 1e-12)
-        gnorm = _norm(G)
-        delta = jnp.sqrt(_dot(G, G / M0))
+        gnorm = _norm(G, axis_name)
+        delta = jnp.sqrt(_dot(G, G / M0, axis_name))
     else:
-        F, G, Dm = fun_grad_curvature(prob, W0)
+        F, G, Dm = fun_grad_curvature(prob, W0, axis_name=axis_name)
         M0 = jnp.zeros((1, 1), dtype)  # placeholder: never read
-        gnorm = _norm(G)
+        gnorm = _norm(G, axis_name)
         delta = gnorm
     stall_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
 
@@ -366,19 +406,20 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         W, F, G, Dm, M, delta, gnorm, it, active, trips, cg_trips = state
 
         S, Rres, snorm, cg_it = _trcg(prob, Dm, G, delta, max_cg_iter,
-                                      M if precondition else None)
+                                      M if precondition else None, axis_name)
         W_new = W + S
-        gs = _dot(G, S)
-        prered = -0.5 * (gs - _dot(S, Rres))
+        gs = _dot(G, S, axis_name)
+        prered = -0.5 * (gs - _dot(S, Rres, axis_name))
         # one fused data pass yields f/g/D (+ diag) at the trial point; on
         # rejection the accept select below discards them, exactly as the
         # unfused code discarded its recomputation at the old W
         if precondition:
             F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
-                prob, W_new, with_diag=True)
+                prob, W_new, with_diag=True, axis_name=axis_name)
             M_new = jnp.maximum(Hd_new, 1e-12)
         else:
-            F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new)
+            F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new,
+                                                      axis_name=axis_name)
             M_new = M
         actred = F - F_new
 
@@ -408,7 +449,7 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         G_out = jnp.where(accept[None, :], G_new, G)
         Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
         M_out = jnp.where(accept[None, :], M_new, M) if precondition else M
-        gnorm_out = jnp.where(accept, _norm(G_new), gnorm)
+        gnorm_out = jnp.where(accept, _norm(G_new, axis_name), gnorm)
         it_out = it + jnp.where(accept, 1, 0)
 
         done = jnp.logical_and(accept, gnorm_out <= eps * gnorm1)

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mlease_tpu.core.dataset import BlockedData
 
 BLOCK_AXIS = "block"
+FEAT_AXIS = "feat"
 
 
 def cpu_devices(n: int | None = None) -> list:
@@ -48,6 +49,21 @@ def make_mesh(devices: Sequence | None = None, n: int | None = None) -> Mesh:
             raise ValueError(f"need {n} devices, have {len(devices)}")
         devices = devices[:n]
     return Mesh(np.array(devices), (BLOCK_AXIS,))
+
+
+def make_mesh_2d(devices: Sequence | None = None, *, block: int = 1,
+                 feat: int = 1) -> Mesh:
+    """2-D mesh (block, feat): data parallelism over blocks x feature model
+    parallelism over column shards (train/feature_sharded.py). Lay the feat
+    axis innermost so its per-Xv psum rides the fastest ICI links; the block
+    axis carries one psum per ADMM iteration (the consensus mean)."""
+    if devices is None:
+        devices = jax.devices()
+    need = block * feat
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(block, feat),
+                (BLOCK_AXIS, FEAT_AXIS))
 
 
 def block_sharding(mesh: Mesh, extra_leading_dims: int = 0) -> NamedSharding:

@@ -7,10 +7,11 @@ from mlease_tpu.train.item import (
     write_item_models,
 )
 from mlease_tpu.train.streaming import StreamingAdmmTrainer
+from mlease_tpu.train.feature_sharded import FeatureShardedAdmmTrainer
 
 __all__ = [
     "AdmmConfig", "AdmmResult", "AdmmTrainer",
     "NaiveConfig", "NaiveResult", "train_naive",
     "ItemConfig", "ItemResult", "train_item_models", "write_item_models",
-    "StreamingAdmmTrainer",
+    "StreamingAdmmTrainer", "FeatureShardedAdmmTrainer",
 ]

@@ -252,6 +252,29 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         return _write_pipeline_outputs(config, result, out_base, test_path,
                                        test_records, ignore_value)
 
+    # mesh.feature.shards > 1: feature model parallelism — the coefficient
+    # axis is column-sharded over a 2-D (block x feat) mesh so per-chip
+    # model HBM scales as n/shards (train/feature_sharded.py). Uses all
+    # visible devices (or the 1-D mesh's devices when use.mesh also set).
+    feat_shards = config.get_int("mesh.feature.shards", 0)
+    if feat_shards > 1:
+        import jax as _jax
+
+        from mlease_tpu.parallel.mesh import make_mesh_2d
+        from mlease_tpu.train.feature_sharded import FeatureShardedAdmmTrainer
+
+        devs = (list(mesh.devices.flat) if mesh is not None
+                else _jax.devices())
+        block = max(len(devs) // feat_shards, 1)
+        mesh2d = make_mesh_2d(devs, block=block, feat=feat_shards)
+        logger.info("feature-sharded mesh: %d block x %d feat devices",
+                    block, feat_shards)
+        fs_trainer = FeatureShardedAdmmTrainer(
+            data, vocab, cfg, test_rows=test_rows, mesh=mesh2d)
+        result = fs_trainer.run(z0=z0)
+        return _write_pipeline_outputs(config, result, out_base, test_path,
+                                       test_records, ignore_value)
+
     trainer = AdmmTrainer(data, vocab, cfg, test_rows=test_rows, mesh=mesh)
 
     ckpt_dir = os.path.join(out_base, "checkpoint")

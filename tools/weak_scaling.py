@@ -71,6 +71,59 @@ def measure(n_dev: int, blocks_per_dev: int, rows: int, features: int,
             "iters_per_s": round(1.0 / dt, 3)}
 
 
+def measure_feature(n_dev: int, feats_per_shard: int, rows: int, nnz: int,
+                    iters: int, nblocks: int = 2) -> dict:
+    """Model weak scaling: n grows with the feat axis (fixed n/shard) and
+    per-row nnz grows with it (fixed nnz/shard), so per-chip coefficient
+    state AND per-chip gather work stay constant while the model grows — a
+    flat curve demonstrates the >HBM claim. On the virtual CPU mesh all
+    devices share one socket and collectives serialize, so the virtual curve
+    badly under-reports what ICI psum delivers; treat it as a correctness/
+    lower-bound exercise (same caveat as block mode, worse because this mode
+    psums per Xv rather than per iteration)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bench import synth_blocked_data, _make_vocab
+    from mlease_tpu.parallel.mesh import make_mesh_2d
+    from mlease_tpu.train.admm import AdmmConfig
+    from mlease_tpu.train.feature_sharded import FeatureShardedAdmmTrainer
+
+    mesh = make_mesh_2d(jax.devices(), block=1, feat=n_dev)
+    n = feats_per_shard * n_dev
+    data, _ = synth_blocked_data(n, nblocks, rows, nnz * n_dev)
+    vocab = _make_vocab(n)
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=iters, regularizer=2,
+                     dtype=jnp.float32)
+    trainer = FeatureShardedAdmmTrainer(data, vocab, cfg, mesh=mesh)
+
+    L = 2
+    S, nl = trainer.fs.n_shards, trainer.fs.n_local
+    z = jax.device_put(jnp.zeros((S, L, nl), jnp.float32),
+                       NamedSharding(mesh, P("feat")))
+    u = jax.device_put(jnp.zeros((S, L, trainer.fs.nblocks, nl), jnp.float32),
+                       NamedSharding(mesh, P("feat", None, "block")))
+    rho = jnp.ones(L, jnp.float32)
+    eps = 0.01 * trainer.eps_scale
+
+    def step(z, u):
+        return trainer.step(trainer.indices, trainer.values, trainer.y,
+                            trainer.weight, trainer.offset, trainer.present,
+                            trainer.block_valid, z, u, trainer.lam,
+                            trainer.icpt_mask, rho, rho, eps)
+
+    z, u, d, _nt, _cg = step(z, u)
+    np.asarray(d)                      # compile + settle
+    t0 = time.monotonic()
+    for _ in range(iters):
+        z, u, d, _nt, _cg = step(z, u)
+    np.asarray(d)
+    dt = (time.monotonic() - t0) / iters
+    return {"devices": n_dev, "features": n, "iter_s": round(dt, 4),
+            "iters_per_s": round(1.0 / dt, 3)}
+
+
 def main():
     # the axon plugin ignores the JAX_PLATFORMS env var; apply it via config
     plat = os.environ.get("JAX_PLATFORMS")
@@ -84,6 +137,10 @@ def main():
     ap.add_argument("--features", type=int, default=5000)
     ap.add_argument("--nnz", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", choices=["block", "feature"], default="block",
+                    help="block: data weak scaling (blocks/device fixed); "
+                         "feature: model weak scaling (features/shard fixed, "
+                         "train/feature_sharded.py)")
     args = ap.parse_args()
 
     import jax
@@ -91,13 +148,17 @@ def main():
     avail = len(jax.devices())
     counts = [c for c in counts if c <= avail]
 
-    points = [measure(c, args.blocks_per_device, args.rows, args.features,
-                      args.nnz, args.iters) for c in counts]
+    if args.mode == "feature":
+        points = [measure_feature(c, args.features, args.rows, args.nnz,
+                                  args.iters) for c in counts]
+    else:
+        points = [measure(c, args.blocks_per_device, args.rows, args.features,
+                          args.nnz, args.iters) for c in counts]
     base = points[0]["iter_s"]
     for p in points:
         # weak scaling: same per-device work, so efficiency = t1 / tN
         p["efficiency"] = round(base / p["iter_s"], 3)
-    print(json.dumps({"metric": "weak_scaling",
+    print(json.dumps({"metric": f"weak_scaling_{args.mode}",
                       "value": points[-1]["efficiency"],
                       "unit": f"efficiency at {points[-1]['devices']} devices "
                               f"({jax.devices()[0].platform})",
