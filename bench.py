@@ -523,10 +523,11 @@ def bench_admm():
         cg_total += cg
 
     # data passes per ADMM iteration (see ops/tron_multi.py): fixed setup
-    # (grad@0 2, fused f/g/D+diag@W0 2.5) + 2.5/Newton trip (scores xv 1 +
-    # combined grad/diag scatter 1.5 — xtv_and_sqdiag reads idx/val/rows
-    # once for both outputs) + 2/CG trip (Hv)
-    passes = (4.5 + 2.5 * nt_total / iters + 2.0 * cg_total / iters)
+    # (grad_norm_at_zero 1 — Xv(0)=0 skips its gather pass — + fused
+    # f/g/D+diag@W0 2.5) + 2.5/Newton trip (scores xv 1 + combined
+    # grad/diag scatter 1.5 — xtv_and_sqdiag reads idx/val/rows once for
+    # both outputs) + 2/CG trip (Hv)
+    passes = (3.5 + 2.5 * nt_total / iters + 2.0 * cg_total / iters)
     roof = _roofline(trainer.data, n_lambdas, head_bytes, passes,
                      steady_iter_s)
 

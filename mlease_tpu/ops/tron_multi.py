@@ -214,6 +214,20 @@ def fun_grad_curvature(prob: MultiProblem, W: jax.Array,
     return F, G, Dm
 
 
+def grad_norm_at_zero(prob: MultiProblem, n_rhs: int,
+                      axis_name: str | None = None) -> jax.Array:
+    """||grad at W=0|| per lane — the reference stop rule's gnorm1
+    (Tron.java:48-54) in ONE data pass: Xv(0) == 0 exactly, so the scores
+    are just the offsets and the Xv gather pass is skipped."""
+    yz = prob.y[:, None] * jnp.broadcast_to(
+        prob.offset[:, None], (prob.y.shape[0], n_rhs)).astype(
+            prob.prior_mean.dtype)
+    p = jax.nn.sigmoid(yz)
+    coeff = prob.weight[:, None] * (p - 1.0) * prob.y[:, None]
+    G0 = xtv(prob, coeff) - prob.prior_mean * prob.prior_var_inv
+    return _norm(G0, axis_name)
+
+
 def hv(prob: MultiProblem, Dm: jax.Array, S: jax.Array,
        axis_name: str | None = None) -> jax.Array:
     return xtv(prob, Dm * xv(prob, S, axis_name)) + S * prob.prior_var_inv
@@ -378,8 +392,7 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     L = W0.shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
 
-    G0, _ = grad_and_curvature(prob, jnp.zeros_like(W0), axis_name)
-    gnorm1 = _norm(G0, axis_name)
+    gnorm1 = grad_norm_at_zero(prob, L, axis_name)
 
     # the Jacobi preconditioner M = diag(H) is a pure function of the carried
     # Dm; computing it fused with f/g/D (xtv_and_sqdiag) and carrying it in

@@ -119,6 +119,29 @@ def test_fused_grad_diag_exact(layout):
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.parametrize("layout", ["ell", "hybrid_col"])
+def test_grad_norm_at_zero_exact(layout):
+    """grad_norm_at_zero ≡ ||grad_and_curvature(prob, 0)[0]|| (Xv(0)=0, so
+    the Xv pass is skippable without any numeric change)."""
+    import mlease_tpu.ops.tron_multi as tm
+
+    rng = np.random.default_rng(7)
+    rows = synth_rows(rng, 90)
+    for r in rows:
+        r["offset"] = float(rng.normal() * 0.5)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, lam) for lam in (0.5, 2.0)])
+    pms = np.stack([np.full(n, m) for m in (0.1, -0.2)])
+    _data, mp = make_multi(rows, vocab, pvis, pms,
+                           hybrid=layout != "ell",
+                           col_tails=layout == "hybrid_col")
+    G0, _ = tm.grad_and_curvature(mp, jnp.zeros((n, 2), jnp.float64))
+    np.testing.assert_allclose(
+        np.asarray(tm.grad_norm_at_zero(mp, 2)),
+        np.asarray(tm._norm(G0)), rtol=1e-14)
+
+
 @pytest.mark.parametrize("head_size", [0, 4])
 def test_admm_multi_rhs_matches_vmapped(head_size):
     rng = np.random.default_rng(2)
