@@ -440,7 +440,10 @@ def bench_admm():
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
                      dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
                      head_size=int(os.environ.get("BENCH_HEAD", "512")),
-                     pcg=bool(int(os.environ.get("BENCH_PCG", "1"))),
+                     # BENCH_PCG: 0|1|jacobi|head_block
+                     pcg={"0": False, "1": True}.get(
+                         os.environ.get("BENCH_PCG", "1"),
+                         os.environ.get("BENCH_PCG", "1")),
                      head_dtype=head_dtype,
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)

@@ -260,6 +260,63 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
     return out
 
 
+class HeadBlockPrecond(NamedTuple):
+    """M = (exact dense-head Hessian block) ⊕ (Jacobi diagonal on the tail).
+
+    On power-law data the head columns carry most of the curvature mass, so
+    preconditioning CG with the head block solved EXACTLY (one (L,H,H)
+    Cholesky per Newton trip, bf16 MXU build) plus the Jacobi diagonal
+    elsewhere cuts CG trips vs diagonal-only. Any SPD M preserves TRON's
+    convergence guarantees; the outer ||g|| stop rule is unchanged.
+    """
+
+    chol: jax.Array       # (L, H, H) lower Cholesky factors per lane
+    diag: jax.Array       # (n, L) Jacobi diagonal; entries at head_ids are
+                          # SET TO 1 and overridden by the block solve
+    head_mask: jax.Array  # (n, 1) 1.0 at head coords (for apply/mdot)
+    head_ids: jax.Array   # (H,)
+
+
+def build_head_precond(prob: MultiProblem, Dm: jax.Array,
+                       Hdiag: jax.Array) -> HeadBlockPrecond:
+    """Head block A_l = head_x' diag(Dm_l) head_x + diag(pvi_head_l).
+
+    The (H,R)@(R,H) build rides the MXU in default (bf16) precision — it
+    only shapes a preconditioner, so 3 digits are plenty; the Cholesky runs
+    f32. Hdiag is the full Jacobi diagonal already computed by the fused
+    f/g/D+diag pass (its head entries are replaced, not reused).
+    """
+    H = prob.head_x.shape[1]
+    n, L = Hdiag.shape
+    # (L, H, H): einsum over rows with per-lane Dm scaling
+    A = jnp.einsum("ri,rl,rj->lij", prob.head_x, Dm, prob.head_x)
+    pvi_head = prob.prior_var_inv[prob.head_ids]          # (H, L)
+    A = A + jax.vmap(jnp.diag, in_axes=1)(pvi_head)       # (L, H, H)
+    chol = jnp.linalg.cholesky(A.astype(jnp.float32)).astype(Hdiag.dtype)
+    head_mask = jnp.zeros((n, 1), Hdiag.dtype).at[prob.head_ids].set(1.0)
+    diag = jnp.where(head_mask > 0, 1.0, jnp.maximum(Hdiag, 1e-12))
+    return HeadBlockPrecond(chol=chol, diag=diag, head_mask=head_mask,
+                            head_ids=prob.head_ids)
+
+
+def _head_solve(pc: HeadBlockPrecond, r: jax.Array) -> jax.Array:
+    """M^{-1} r: cho_solve on the head coords, divide on the tail."""
+    r_head = r[pc.head_ids]                                # (H, L)
+    sol = jax.vmap(
+        lambda c, b: jax.scipy.linalg.cho_solve((c, True), b),
+        in_axes=(0, 1), out_axes=1)(pc.chol, r_head)       # (H, L)
+    return (r / pc.diag).at[pc.head_ids].set(sol)
+
+
+def _head_apply(pc: HeadBlockPrecond, v: jax.Array) -> jax.Array:
+    """M v (for the M-norm trust-region dots)."""
+    v_head = v[pc.head_ids]                                # (H, L)
+    Av = jnp.einsum("lij,jl->il", pc.chol, jnp.einsum(
+        "lji,jl->il", pc.chol, v_head))                    # L L' v
+    tail = v * pc.diag * (1.0 - pc.head_mask)
+    return tail.at[pc.head_ids].set(Av)
+
+
 class MultiTronResult(NamedTuple):
     w: jax.Array             # (n, L)
     f: jax.Array             # (L,)
@@ -290,6 +347,10 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
     TRON), the trust region is measured in the M-norm and the residual test
     uses ||r||_{M^-1}; M=None reproduces the reference exactly.
 
+    M may be None (no preconditioning — the reference path), an (n, L)
+    Jacobi diagonal, or a HeadBlockPrecond (exact dense-head block ⊕ Jacobi
+    tail).
+
     Sharded CG state (s/r/z/d and M) is column-local; every scalar reduction
     goes through the psum'd dots, so all (L,) trust-region scalars stay
     replicated across shards and the while_loop lock-steps by construction.
@@ -301,6 +362,11 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
             return r
         def mdot(a, b):
             return _dot(a, b, axis_name)
+    elif isinstance(M, HeadBlockPrecond):
+        def precond(r):
+            return _head_solve(M, r)
+        def mdot(a, b):
+            return _psum(jnp.sum(a * _head_apply(M, b), axis=0), axis_name)
     else:
         def precond(r):
             return r / M
@@ -375,10 +441,12 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     """Warm-started TRON over L simultaneous lambda-problems (Tron.java:30-124
     per lane; stall thresholds as in mlease_tpu.ops.tron).
 
-    precondition=True enables the Jacobi-preconditioned CG with M-norm trust
-    region (one hessian-diagonal pass per Newton step buys fewer CG data
-    passes); the outer stopping rule (euclidean ||g|| <= eps*||g0||) is
-    unchanged, so converged results match the reference path within
+    precondition=True (or "jacobi") enables the Jacobi-preconditioned CG
+    with M-norm trust region (one hessian-diagonal pass per Newton step buys
+    fewer CG data passes); "head_block" additionally solves the dense-head
+    curvature block exactly (HeadBlockPrecond — requires the hybrid layout).
+    The outer stopping rule (euclidean ||g|| <= eps*||g0||) is unchanged for
+    every kind, so converged results match the reference path within
     tolerance.
 
     axis_name names a mesh axis over which the coefficient/feature dimension
@@ -391,14 +459,24 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     dtype = W0.dtype
     L = W0.shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
+    kind = {False: "none", True: "jacobi"}.get(precondition, precondition)
+    if kind == "head_block" and prob.head_x is None:
+        raise ValueError("head_block preconditioning needs the hybrid "
+                         "dense-head layout (head_size > 0)")
 
     gnorm1 = grad_norm_at_zero(prob, L, axis_name)
 
-    # the Jacobi preconditioner M = diag(H) is a pure function of the carried
-    # Dm; computing it fused with f/g/D (xtv_and_sqdiag) and carrying it in
-    # loop state spends ~half a data pass per Newton trip instead of a full
-    # standalone hessian_diagonal pass
-    if precondition:
+    # the preconditioner is a pure function of the carried Dm; computing it
+    # fused with f/g/D (xtv_and_sqdiag) and carrying it in loop state spends
+    # ~half a data pass per Newton trip instead of a full standalone
+    # hessian_diagonal pass
+    if kind == "head_block":
+        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True,
+                                           axis_name=axis_name)
+        M0 = build_head_precond(prob, Dm, Hd0)
+        gnorm = _norm(G, axis_name)
+        delta = jnp.sqrt(_dot(G, _head_solve(M0, G), axis_name))
+    elif kind == "jacobi":
         F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True,
                                            axis_name=axis_name)
         M0 = jnp.maximum(Hd0, 1e-12)
@@ -419,14 +497,19 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         W, F, G, Dm, M, delta, gnorm, it, active, trips, cg_trips = state
 
         S, Rres, snorm, cg_it = _trcg(prob, Dm, G, delta, max_cg_iter,
-                                      M if precondition else None, axis_name)
+                                      M if kind != "none" else None,
+                                      axis_name)
         W_new = W + S
         gs = _dot(G, S, axis_name)
         prered = -0.5 * (gs - _dot(S, Rres, axis_name))
         # one fused data pass yields f/g/D (+ diag) at the trial point; on
         # rejection the accept select below discards them, exactly as the
         # unfused code discarded its recomputation at the old W
-        if precondition:
+        if kind == "head_block":
+            F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
+                prob, W_new, with_diag=True, axis_name=axis_name)
+            M_new = build_head_precond(prob, Dm_new, Hd_new)
+        elif kind == "jacobi":
             F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
                 prob, W_new, with_diag=True, axis_name=axis_name)
             M_new = jnp.maximum(Hd_new, 1e-12)
@@ -461,7 +544,15 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         F_out = jnp.where(accept, F_new, F)
         G_out = jnp.where(accept[None, :], G_new, G)
         Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
-        M_out = jnp.where(accept[None, :], M_new, M) if precondition else M
+        if kind == "head_block":
+            M_out = HeadBlockPrecond(
+                chol=jnp.where(accept[:, None, None], M_new.chol, M.chol),
+                diag=jnp.where(accept[None, :], M_new.diag, M.diag),
+                head_mask=M.head_mask, head_ids=M.head_ids)
+        elif kind == "jacobi":
+            M_out = jnp.where(accept[None, :], M_new, M)
+        else:
+            M_out = M
         gnorm_out = jnp.where(accept, _norm(G_new, axis_name), gnorm)
         it_out = it + jnp.where(accept, 1, 0)
 

@@ -76,11 +76,14 @@ class AdmmConfig:
                                   # the MXU (see DESIGN.md section 3); 0 = off
     multi_rhs: bool = True        # solve the whole lambda path per data pass
                                   # (ops/tron_multi.py); False = vmapped lanes
-    pcg: bool = True              # Jacobi-preconditioned CG in the multi-RHS
-                                  # solver (12x fewer data passes on the
-                                  # benchmark; not in the reference — same
-                                  # converged solution, pcg=False for the
-                                  # reference-exact CG trajectory)
+    pcg: Any = True               # preconditioned CG in the multi-RHS solver
+                                  # (not in the reference — same converged
+                                  # solution; pcg=False for the reference-
+                                  # exact CG trajectory): True/"jacobi" =
+                                  # diagonal (12x fewer data passes on the
+                                  # benchmark), "head_block" = exact dense-
+                                  # head curvature block + Jacobi tail
+                                  # (requires head_size > 0)
     head_dtype: Any = None        # storage dtype for the dense head (e.g.
                                   # jnp.bfloat16 halves its HBM traffic and
                                   # memory; accumulation stays f32)

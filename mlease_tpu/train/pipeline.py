@@ -87,7 +87,10 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         head_size=config.get_int("head.size", 0),
         dual_layout=config.get_boolean("dual.layout", False),
         multi_rhs=config.get_boolean("multi.rhs", True),
-        pcg=config.get_boolean("pcg", True),
+        # "pcg": true|false|jacobi|head_block (AdmmConfig.pcg)
+        pcg={"true": True, "false": False}.get(
+            config.get_string("pcg", "true").lower(),
+            config.get_string("pcg", "true").lower()),
         dtype=dtype if dtype is not None else {
             "float32": jnp.float32, "float64": jnp.float64,
             "bfloat16": jnp.bfloat16,

@@ -193,6 +193,53 @@ def test_pcg_reaches_same_solution(hybrid):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_head_block_pcg_reaches_same_solution():
+    """head_block preconditioning: same converged W as plain CG, never more
+    CG trips than Jacobi (the head block is solved exactly)."""
+    rng = np.random.default_rng(8)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, lam) for lam in (0.5, 4.0)])
+    pms = np.zeros((2, n))
+    _data, mp = make_multi(rows, vocab, pvis, pms, hybrid=True,
+                           col_tails=True)
+    W0 = jnp.zeros((n, 2), jnp.float64)
+    res_plain = tron_multi(mp, W0, 1e-6)
+    res_jac = tron_multi(mp, W0, 1e-6, precondition=True)
+    res_blk = tron_multi(mp, W0, 1e-6, precondition="head_block")
+    assert bool(res_blk.converged.all())
+    np.testing.assert_allclose(np.asarray(res_blk.w), np.asarray(res_plain.w),
+                               rtol=1e-5, atol=1e-6)
+    assert int(res_blk.cg_trips) <= int(res_jac.cg_trips)
+
+
+def test_head_block_requires_hybrid():
+    rng = np.random.default_rng(9)
+    rows = synth_rows(rng, 40)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, 1.0)])
+    pms = np.zeros((1, n))
+    _data, mp = make_multi(rows, vocab, pvis, pms, hybrid=False)
+    with pytest.raises(ValueError, match="head_block"):
+        tron_multi(mp, jnp.zeros((n, 1), jnp.float64), 1e-6,
+                   precondition="head_block")
+
+
+def test_admm_head_block_matches_plain():
+    rng = np.random.default_rng(10)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                head_size=4, liblinear_epsilon=1e-4)
+    res_plain = AdmmTrainer(data, vocab, AdmmConfig(pcg=False, **base)).run()
+    res_blk = AdmmTrainer(data, vocab,
+                          AdmmConfig(pcg="head_block", **base)).run()
+    np.testing.assert_allclose(res_blk.z, res_plain.z, rtol=1e-4, atol=2e-5)
+
+
 def test_admm_pcg_matches_plain():
     rng = np.random.default_rng(5)
     rows = synth_rows(rng, 300)
