@@ -477,66 +477,76 @@ class AdmmTrainer:
         step_raw = self._step_raw
 
         rho_base = jnp.asarray(self.rhos, dtype)
-        lam_vec = self.lam_vec
-        eps_scale = self.eps_scale
         NEG = jnp.asarray(-9999999.0, dtype)
 
-        def loglik_dev(z):
-            idx, val, yv, wv, off = self.test_arrays
-            def one(z_l):
-                s = jnp.sum(val * z_l[idx], axis=-1) + off
-                ll = -jnp.logaddexp(0.0, -yv * s) * wv
-                return jnp.sum(ll) / jnp.sum(wv)
-            return jax.vmap(one)(z)
-
-        def body(state):
-            (z, u, inner_eps, mindiff, it, done, chunk_end, diffs_h, ll_h,
-             best_ll, best_z, best_lam, best_it, nt_tot, cg_tot) = state
-            if aggressive:
-                inner_eps = jnp.where(it > 5, inner_eps / 10.0, inner_eps)
-            else:
-                inner_eps = jnp.where((it > 1) & (mindiff < 1e-3),
-                                      inner_eps / 10.0, inner_eps)
-            rho_eff = rho_base
-            if boost > 0:
-                rho_eff = jnp.where(it == 1, rho_base * boost, rho_eff)
-            if adapt > 0:
-                rho_eff = jnp.where(
-                    it > 1, rho_base * jnp.exp(-(it - 1.0) * adapt), rho_eff)
-            eps = inner_eps * eps_scale
-
-            z, u, diffs, stats = step_raw(
-                self.indices, self.values, self.y, self.weight, self.offset,
-                self.csc, self.head, self.present, self.block_valid,
-                z, u, lam_vec, rho_eff, rho_base, eps)
-            mindiff = jnp.min(diffs).astype(jnp.float64)
-            maxdiff = jnp.max(diffs)
-            diffs_h = diffs_h.at[it].set(diffs)
-            nt_tot += jnp.max(stats["newton_trips"])
-            cg_tot += jnp.max(stats["cg_trips"])
-
-            if track_ll:
-                ll = loglik_dev(z)
-                ll_h = ll_h.at[it].set(ll)
-                bi = jnp.argmax(ll).astype(jnp.int32)
-                better = ll[bi] > best_ll
-                best_ll = jnp.where(better, ll[bi], best_ll)
-                best_z = jnp.where(better, z[bi], best_z)
-                best_lam = jnp.where(better, bi, best_lam)
-                best_it = jnp.where(better, it, best_it)
-
-            done = (maxdiff < cfg.epsilon) & (inner_eps
-                                              <= cfg.inner_eps_floor)
-            return (z, u, inner_eps, mindiff, it + 1, done, chunk_end,
-                    diffs_h, ll_h,
-                    best_ll, best_z, best_lam, best_it, nt_tot, cg_tot)
-
-        def cond(state):
-            it, done, chunk_end = state[4], state[5], state[6]
-            return (it <= jnp.minimum(chunk_end, max_it)) & ~done
+        # the dataset rides as jit OPERANDS, not closure captures: closing
+        # over device arrays bakes them into the program as constants (at
+        # 1M-row shapes >2 GB of literals — slow lowering, bloated
+        # executables, and the persistent compile cache keys on them)
+        ops = (self.indices, self.values, self.y, self.weight, self.offset,
+               self.csc, self.head, self.present, self.block_valid,
+               self.lam_vec, self.eps_scale, rho_base,
+               self.test_arrays if track_ll else None)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def fused(state):
+        def fused(state, ops):
+            (indices, values, y, weight, offset, csc, head, present,
+             block_valid, lam_vec, eps_scale, rho_b, test_arrays) = ops
+
+            def loglik_dev(z):
+                idx, val, yv, wv, off = test_arrays
+                def one(z_l):
+                    s = jnp.sum(val * z_l[idx], axis=-1) + off
+                    ll = -jnp.logaddexp(0.0, -yv * s) * wv
+                    return jnp.sum(ll) / jnp.sum(wv)
+                return jax.vmap(one)(z)
+
+            def body(state):
+                (z, u, inner_eps, mindiff, it, done, chunk_end, diffs_h,
+                 ll_h, best_ll, best_z, best_lam, best_it, nt_tot,
+                 cg_tot) = state
+                if aggressive:
+                    inner_eps = jnp.where(it > 5, inner_eps / 10.0, inner_eps)
+                else:
+                    inner_eps = jnp.where((it > 1) & (mindiff < 1e-3),
+                                          inner_eps / 10.0, inner_eps)
+                rho_eff = rho_b
+                if boost > 0:
+                    rho_eff = jnp.where(it == 1, rho_b * boost, rho_eff)
+                if adapt > 0:
+                    rho_eff = jnp.where(
+                        it > 1, rho_b * jnp.exp(-(it - 1.0) * adapt), rho_eff)
+                eps = inner_eps * eps_scale
+
+                z, u, diffs, stats = step_raw(
+                    indices, values, y, weight, offset, csc, head, present,
+                    block_valid, z, u, lam_vec, rho_eff, rho_b, eps)
+                mindiff = jnp.min(diffs).astype(jnp.float64)
+                maxdiff = jnp.max(diffs)
+                diffs_h = diffs_h.at[it].set(diffs)
+                nt_tot += jnp.max(stats["newton_trips"])
+                cg_tot += jnp.max(stats["cg_trips"])
+
+                if track_ll:
+                    ll = loglik_dev(z)
+                    ll_h = ll_h.at[it].set(ll)
+                    bi = jnp.argmax(ll).astype(jnp.int32)
+                    better = ll[bi] > best_ll
+                    best_ll = jnp.where(better, ll[bi], best_ll)
+                    best_z = jnp.where(better, z[bi], best_z)
+                    best_lam = jnp.where(better, bi, best_lam)
+                    best_it = jnp.where(better, it, best_it)
+
+                done = (maxdiff < cfg.epsilon) & (inner_eps
+                                                  <= cfg.inner_eps_floor)
+                return (z, u, inner_eps, mindiff, it + 1, done, chunk_end,
+                        diffs_h, ll_h,
+                        best_ll, best_z, best_lam, best_it, nt_tot, cg_tot)
+
+            def cond(state):
+                it, done, chunk_end = state[4], state[5], state[6]
+                return (it <= jnp.minimum(chunk_end, max_it)) & ~done
+
             return jax.lax.while_loop(cond, body, state)
 
         z = (jnp.zeros((L, n), dtype) if z0 is None
@@ -561,12 +571,12 @@ class AdmmTrainer:
                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
         t_compile = time.monotonic()
-        compiled = fused.lower(state).compile()
+        compiled = fused.lower(state, ops).compile()
         compile_time = time.monotonic() - t_compile
         t_start = time.monotonic()
         seen_ll_iters = 0
         while True:
-            state = compiled(state)
+            state = compiled(state, ops)
             it_now = int(np.asarray(state[4]))
             done_now = bool(np.asarray(state[5]))
             if callback is not None:

@@ -129,7 +129,21 @@ def main():
     head_j, ell_j, tail_j = (jax.jit(head_only), jax.jit(ell_only),
                              jax.jit(tail_only))
 
+    # locality experiment (ROADMAP #1c): does gather time depend on how
+    # compact the index range is? Same count/order of gathers, indices drawn
+    # over the full vocab vs a 2K hot region. Equal times => a
+    # frequency-ordered tail vocabulary cannot help; unequal => reordering
+    # the cold tail by frequency is worth building.
     T = data.tail_rows.shape[1]
+    spread_idx = jnp.asarray(rng.integers(0, n, T).astype(np.int32))
+    compact_idx = jnp.asarray(rng.integers(0, min(2048, n), T)
+                              .astype(np.int32))
+
+    def gather_only(idx):
+        return W[idx]
+
+    gather_j = jax.jit(gather_only)
+
     K = data.indices.shape[2]
     res = {
         "xv_ms": _time_op(lambda w: xv_j(prob, w), W) * 1e3,
@@ -142,6 +156,8 @@ def main():
             lambda c: fused_j(prob, c, Dm), C) * 1e3,
         "hv_ms": _time_op(lambda s: hv_j(prob, Dm, s), W) * 1e3,
         "fun_grad_diag_ms": _time_op(lambda w: fgc_j(prob, w), W) * 1e3,
+        "gather_spread_ms": _time_op(gather_j, spread_idx) * 1e3,
+        "gather_compact_ms": _time_op(gather_j, compact_idx) * 1e3,
     }
     res = {k: round(v, 3) for k, v in res.items()}
     shapes = {"rows": rows, "n": n, "L": L, "K_ell": K, "head": head,
