@@ -11,9 +11,12 @@ it is checked against).
     python tools/pass_microbench.py            # tunneled TPU
     JAX_PLATFORMS=cpu python tools/pass_microbench.py
 
-Prints one JSON line with per-pass ms and derived bytes/s per component.
-Chained dispatch (each rep consumes the previous result) keeps the tunnel
-RTT out of the steady numbers, same technique as bench.py.
+Measurement technique: the tunnel has a per-dispatch floor (~0.2 ms) and
+multi-ms fetch jitter, so sub-ms ops CANNOT be timed by repeated dispatch.
+Each primitive instead runs N times inside ONE jitted lax.fori_loop with a
+real (value-negligible) data dependence between trips — one dispatch, one
+fetch, per-trip time = total / N; the loop-carried dependence stops XLA
+hoisting the loop-invariant computation.
 """
 
 import json
@@ -25,35 +28,36 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _time_op(fn, x0, lo=10, hi=40):
-    """Seconds per call by two-point slope: (t_hi - t_lo) / (hi - lo).
-
-    On the tunneled chip block_until_ready can return before execution
-    finishes; a device->host FETCH of the last result is the only reliable
-    barrier — but one fetch costs a tunnel RTT, so the constant is removed
-    by differencing two queue depths (the in-order device queue makes total
-    time linear in reps)."""
-    out = fn(x0)
-    jax_fetch(out)   # compile + settle
-
-    def total(reps):
-        t0 = time.monotonic()
-        out = fn(x0)
-        for _ in range(reps - 1):
-            out = fn(x0)
-        jax_fetch(out)
-        return time.monotonic() - t0
-
-    t_lo = min(total(lo), total(lo))
-    t_hi = min(total(hi), total(hi))
-    return max(t_hi - t_lo, 0.0) / (hi - lo)
+N_TRIPS = int(os.environ.get("MICROBENCH_TRIPS", 200))
 
 
 def jax_fetch(x):
     import jax
     for leaf in jax.tree_util.tree_leaves(x):
         np.asarray(jax.device_get(leaf))
+
+
+def _time_loop(step, x0, tries=3):
+    """Seconds per `step` application: N_TRIPS chained inside one program.
+
+    `step` must map x -> x (same pytree) with a true data dependence so the
+    while-body cannot be hoisted; the added chaining arithmetic is a few
+    scalar flops per trip — noise against the 10^5-element passes timed."""
+    import jax
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, N_TRIPS, lambda i, v: step(v), x)
+
+    out = loop(x0)
+    jax_fetch(out)   # compile + settle
+
+    def total():
+        t0 = time.monotonic()
+        jax_fetch(loop(x0))
+        return time.monotonic() - t0
+
+    return min(total() for _ in range(tries)) / N_TRIPS
 
 
 def main():
@@ -104,13 +108,16 @@ def main():
     W = jnp.asarray(rng.normal(size=(n, L)) * 0.1, dt)
     C = jnp.asarray(rng.normal(size=(rows, L)), dt)
     Dm = jnp.asarray(rng.random((rows, L)) * 0.25, dt)
+    TINY = jnp.asarray(1e-30, dt)   # runtime-zero-ish, not foldable
 
-    xv_j = jax.jit(tm.xv)
-    xtv_j = jax.jit(tm.xtv)
-    fused_j = jax.jit(tm.xtv_and_sqdiag)
-    diag_j = jax.jit(tm.hessian_diagonal)
-    hv_j = jax.jit(tm.hv)
-    fgc_j = jax.jit(lambda p, w: tm.fun_grad_curvature(p, w, with_diag=True))
+    def chainW(fn):
+        """x -> x step around fn(x): the FULL output reduces into the carry
+        (a sum, so no element of fn(x) is dead and XLA cannot slice the
+        gathers down to the one element the chain consumes)."""
+        return lambda x: x.at[0, 0].add(jnp.sum(fn(x)) * TINY)
+
+    def chainC(fn):
+        return lambda c: c.at[0, 0].add(jnp.sum(fn(c)) * TINY)
 
     # parts of xv in isolation (head matmul vs ELL gather vs tail)
     def head_only(V):
@@ -119,6 +126,8 @@ def main():
                        precision=jax.lax.Precision.HIGHEST)
 
     def ell_only(V):
+        if prob.indices.shape[-1] == 0:
+            return jnp.zeros((1,), V.dtype)
         return jnp.sum(prob.values[..., None] * V[prob.indices], axis=1)
 
     def tail_only(V):
@@ -126,43 +135,65 @@ def main():
         return jax.ops.segment_sum(contrib, prob.tail_rows,
                                    num_segments=rows, indices_are_sorted=True)
 
-    head_j, ell_j, tail_j = (jax.jit(head_only), jax.jit(ell_only),
-                             jax.jit(tail_only))
-
-    # locality experiment (ROADMAP #1c): does gather time depend on how
-    # compact the index range is? Same count/order of gathers, indices drawn
-    # over the full vocab vs a 2K hot region. Equal times => a
-    # frequency-ordered tail vocabulary cannot help; unequal => reordering
-    # the cold tail by frequency is worth building.
+    # locality experiments (ROADMAP #1c): does gather time depend on how
+    # compact the accessed region is? Four index sets with identical counts:
+    # uniform over the vocab, uniform over a 2K region, zipf with hot ids
+    # compact at the low end (frequency-ordered vocab), and the SAME zipf
+    # draws scattered through a fixed random permutation (first-occurrence
+    # vocab, the reference ingest order). zipf_ordered beating zipf_scattered
+    # is the measured case for frequency-ordering the vocabulary.
     T = data.tail_rows.shape[1]
     spread_idx = jnp.asarray(rng.integers(0, n, T).astype(np.int32))
     compact_idx = jnp.asarray(rng.integers(0, min(2048, n), T)
                               .astype(np.int32))
+    zipf_np = ((rng.zipf(1.3, size=T).astype(np.int64) - 1)
+               % n).astype(np.int32)
+    perm = rng.permutation(n).astype(np.int32)
+    zipf_ordered = jnp.asarray(zipf_np)
+    zipf_scattered = jnp.asarray(perm[zipf_np])
 
-    def gather_only(idx):
-        return W[idx]
+    def chain_gather(idx0):
+        # idx -> idx dependence through a FULL reduce of the gathered rows
+        def step(idx):
+            g = W[idx]
+            return idx.at[0].add((jnp.sum(g) * TINY).astype(jnp.int32))
+        return step
 
-    gather_j = jax.jit(gather_only)
+    # constant per-trip cost of the harness itself (carry copy + chain
+    # arithmetic + amortized dispatch/fetch): subtracted from every number
+    null = _time_loop(chainW(lambda w: jnp.zeros((), dt)), W)
 
-    K = data.indices.shape[2]
+    def t(step, x0):
+        return max(_time_loop(step, x0) - null, 0.0)
+
     res = {
-        "xv_ms": _time_op(lambda w: xv_j(prob, w), W) * 1e3,
-        "xv_head_ms": _time_op(head_j, W) * 1e3,
-        "xv_ell_ms": _time_op(ell_j, W) * 1e3,
-        "xv_tail_ms": _time_op(tail_j, W) * 1e3,
-        "xtv_ms": _time_op(lambda c: xtv_j(prob, c), C) * 1e3,
-        "diag_ms": _time_op(lambda d: diag_j(prob, d), Dm) * 1e3,
-        "fused_xtv_diag_ms": _time_op(
-            lambda c: fused_j(prob, c, Dm), C) * 1e3,
-        "hv_ms": _time_op(lambda s: hv_j(prob, Dm, s), W) * 1e3,
-        "fun_grad_diag_ms": _time_op(lambda w: fgc_j(prob, w), W) * 1e3,
-        "gather_spread_ms": _time_op(gather_j, spread_idx) * 1e3,
-        "gather_compact_ms": _time_op(gather_j, compact_idx) * 1e3,
+        "null_loop_ms": null * 1e3,
+        "xv_ms": t(chainW(lambda w: tm.xv(prob, w)), W) * 1e3,
+        "xv_head_ms": t(chainW(head_only), W) * 1e3,
+        "xv_ell_ms": t(chainW(ell_only), W) * 1e3,
+        "xv_tail_ms": t(chainW(tail_only), W) * 1e3,
+        "xtv_ms": t(chainC(lambda c: tm.xtv(prob, c)), C) * 1e3,
+        "diag_ms": t(
+            chainC(lambda d: tm.hessian_diagonal(prob, d)), Dm) * 1e3,
+        "fused_xtv_diag_ms": t(
+            chainC(lambda c: sum(jnp.sum(o) for o in
+                                 tm.xtv_and_sqdiag(prob, c, Dm))), C) * 1e3,
+        "hv_ms": t(chainW(lambda s: tm.hv(prob, Dm, s)), W) * 1e3,
+        "fun_grad_diag_ms": t(
+            chainW(lambda w: sum(jnp.sum(o) for o in
+                                 tm.fun_grad_curvature(
+                                     prob, w, with_diag=True))), W) * 1e3,
+        "gather_spread_ms": t(chain_gather(spread_idx), spread_idx) * 1e3,
+        "gather_compact_ms": t(chain_gather(compact_idx), compact_idx) * 1e3,
+        "gather_zipf_ordered_ms": t(chain_gather(zipf_ordered),
+                                    zipf_ordered) * 1e3,
+        "gather_zipf_scattered_ms": t(chain_gather(zipf_scattered),
+                                      zipf_scattered) * 1e3,
     }
-    res = {k: round(v, 3) for k, v in res.items()}
-    shapes = {"rows": rows, "n": n, "L": L, "K_ell": K, "head": head,
-              "tail_nnz": T, "block": "1 of {}".format(B),
-              "device": str(jax.devices()[0])}
+    res = {k: round(v, 4) for k, v in res.items()}
+    shapes = {"rows": rows, "n": n, "L": L, "K_ell": data.indices.shape[2],
+              "head": head, "tail_nnz": T, "block": "1 of {}".format(B),
+              "loop_trips": N_TRIPS, "device": str(jax.devices()[0])}
     print(json.dumps({"metric": "pass_microbench", "value": res["xv_ms"],
                       "unit": "ms per xv pass (single block)",
                       "vs_baseline": 0.0,
