@@ -444,6 +444,7 @@ def bench_admm():
                      pcg={"0": False, "1": True}.get(
                          os.environ.get("BENCH_PCG", "1"),
                          os.environ.get("BENCH_PCG", "1")),
+                     flat_blocks=bool(int(os.environ.get("BENCH_FLAT", "1"))),
                      head_dtype=head_dtype,
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
@@ -545,6 +546,7 @@ def bench_admm():
             "steady_iter_s": round(steady_iter_s, 4),
             "head_size": cfg.head_size,
             "multi_rhs": cfg.multi_rhs,
+            "flat_blocks": cfg.flat_blocks,
             "newton_trips_per_iter": round(nt_total / iters, 1),
             "cg_trips_per_iter": round(cg_total / iters, 1),
             "roofline": roof,

@@ -28,7 +28,16 @@ from mlease_tpu.ops.tron import ETA0, ETA1, ETA2, SIGMA1, SIGMA2, SIGMA3
 
 
 class MultiProblem(NamedTuple):
-    """One data block, L simultaneous lambda-problems (trailing axis L)."""
+    """One data block, L simultaneous lambda-problems (trailing axis L).
+
+    Flat-blocks form (train/admm.py flat_blocks): B blocks stack into ONE
+    problem — rows concatenate to R = B*Rb, the coefficient slab stacks to
+    n = B*nb with every sparse column id offset by b*nb, and ONLY the dense
+    head keeps a batch axis (head_x (B, Rb, H), head_ids (B*H,) flat ids)
+    because a block-diagonal matmul would waste the MXU. Measured on-chip:
+    XLA's batched gathers/segment-sums cost ~1.9x their flat equivalents
+    (tools/pass_microbench.py tail_b4_vmapped vs tail_flat), so flattening
+    the block axis is the single biggest per-iteration win."""
 
     indices: jax.Array        # (R, K) int32 (may be K=0 in hybrid mode)
     values: jax.Array         # (R, K)
@@ -37,8 +46,8 @@ class MultiProblem(NamedTuple):
     offset: jax.Array         # (R,)
     prior_mean: jax.Array     # (n, L)
     prior_var_inv: jax.Array  # (n, L)
-    head_x: jax.Array | None = None     # (R, H)
-    head_ids: jax.Array | None = None   # (H,)
+    head_x: jax.Array | None = None     # (R, H) | (B, Rb, H) flat-blocks
+    head_ids: jax.Array | None = None   # (H,)   | (B*H,)     flat-blocks
     tail_rows: jax.Array | None = None  # (T,) sorted ascending (row-major)
     tail_cols: jax.Array | None = None  # (T,)
     tail_vals: jax.Array | None = None  # (T,)
@@ -80,9 +89,17 @@ def xv(prob: MultiProblem, V: jax.Array,
     if prob.head_x is not None:
         # HIGHEST: TPU f32 matmul defaults to one bf16 pass (~3 digits);
         # 3-pass costs only MXU cycles while the op stays bandwidth-bound
-        out = out + jnp.dot(prob.head_x, V[prob.head_ids],
-                            preferred_element_type=V.dtype,
-                            precision=jax.lax.Precision.HIGHEST)
+        hw = V[prob.head_ids]
+        if prob.head_x.ndim == 3:      # flat-blocks: batched head matmul
+            B, Rb, H = prob.head_x.shape
+            out = out + jnp.einsum(
+                "brh,bhl->brl", prob.head_x, hw.reshape(B, H, L),
+                preferred_element_type=V.dtype,
+                precision=jax.lax.Precision.HIGHEST).reshape(R, L)
+        else:
+            out = out + jnp.dot(prob.head_x, hw,
+                                preferred_element_type=V.dtype,
+                                precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals[:, None] * V[prob.tail_cols]
         # tail_rows are row-major sorted: sorted segment-sum beats scatter
@@ -100,9 +117,17 @@ def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
         contrib = (prob.values[..., None] * Dm[:, None, :]).reshape(-1, L)
         out = out.at[prob.indices.reshape(-1)].add(contrib)
     if prob.head_x is not None:
-        out = out.at[prob.head_ids].add(
-            jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype,
-                    precision=jax.lax.Precision.HIGHEST))
+        if prob.head_x.ndim == 3:      # flat-blocks: batched head
+            B, Rb, H = prob.head_x.shape
+            contrib = jnp.einsum(
+                "brh,brl->bhl", prob.head_x, Dm.reshape(B, Rb, L),
+                preferred_element_type=Dm.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            out = out.at[prob.head_ids].add(contrib.reshape(B * H, L))
+        else:
+            out = out.at[prob.head_ids].add(
+                jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype,
+                        precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
         out = out + jax.ops.segment_sum(
             prob.tail_c_vals[:, None] * Dm[prob.tail_c_rows],
@@ -160,12 +185,27 @@ def xtv_and_sqdiag(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
             axis=-1).reshape(-1, 2 * L)
         out = out.at[prob.indices.reshape(-1)].add(contrib)
     if prob.head_x is not None:
-        gh = jnp.dot(prob.head_x.T, C, preferred_element_type=C.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
-        dh = jnp.dot((prob.head_x * prob.head_x).T, Dm,
-                     preferred_element_type=Dm.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
-        out = out.at[prob.head_ids].add(jnp.concatenate([gh, dh], axis=-1))
+        if prob.head_x.ndim == 3:      # flat-blocks: batched head
+            B, Rb, H = prob.head_x.shape
+            gh = jnp.einsum("brh,brl->bhl", prob.head_x,
+                            C.reshape(B, Rb, L),
+                            preferred_element_type=C.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            dh = jnp.einsum("brh,brl->bhl",
+                            prob.head_x * prob.head_x,
+                            Dm.reshape(B, Rb, L),
+                            preferred_element_type=Dm.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            out = out.at[prob.head_ids].add(
+                jnp.concatenate([gh, dh], axis=-1).reshape(B * H, 2 * L))
+        else:
+            gh = jnp.dot(prob.head_x.T, C, preferred_element_type=C.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+            dh = jnp.dot((prob.head_x * prob.head_x).T, Dm,
+                         preferred_element_type=Dm.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+            out = out.at[prob.head_ids].add(
+                jnp.concatenate([gh, dh], axis=-1))
     if prob.tail_c_cols is not None:
         rows = jnp.concatenate([C, Dm], axis=-1)[prob.tail_c_rows]  # 1 gather
         tv = prob.tail_c_vals[:, None]
@@ -244,10 +284,19 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
         out = out + (jnp.zeros((n, L), Dm.dtype)
                      .at[prob.indices.reshape(-1)].add(contrib))
     if prob.head_x is not None:
-        out = out.at[prob.head_ids].add(
-            jnp.dot((prob.head_x * prob.head_x).T, Dm,
-                    preferred_element_type=Dm.dtype,
-                    precision=jax.lax.Precision.HIGHEST))
+        hx2 = prob.head_x * prob.head_x
+        if prob.head_x.ndim == 3:      # flat-blocks: batched head
+            B, Rb, H = prob.head_x.shape
+            contrib = jnp.einsum(
+                "brh,brl->bhl", hx2, Dm.reshape(B, Rb, L),
+                preferred_element_type=Dm.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            out = out.at[prob.head_ids].add(contrib.reshape(B * H, L))
+        else:
+            out = out.at[prob.head_ids].add(
+                jnp.dot(hx2.T, Dm,
+                        preferred_element_type=Dm.dtype,
+                        precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
         tv = prob.tail_c_vals[:, None]
         out = out + jax.ops.segment_sum(
@@ -460,9 +509,10 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     L = W0.shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
     kind = {False: "none", True: "jacobi"}.get(precondition, precondition)
-    if kind == "head_block" and prob.head_x is None:
+    if kind == "head_block" and (prob.head_x is None
+                                 or prob.head_x.ndim == 3):
         raise ValueError("head_block preconditioning needs the hybrid "
-                         "dense-head layout (head_size > 0)")
+                         "dense-head layout (head_size > 0, non-flat)")
 
     gnorm1 = grad_norm_at_zero(prob, L, axis_name)
 

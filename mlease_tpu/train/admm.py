@@ -87,6 +87,14 @@ class AdmmConfig:
     head_dtype: Any = None        # storage dtype for the dense head (e.g.
                                   # jnp.bfloat16 halves its HBM traffic and
                                   # memory; accumulation stays f32)
+    flat_blocks: bool = True      # fold the block axis into the coefficient
+                                  # axis for the multi-RHS solve (measured
+                                  # ~1.9x on batched gathers/segment-sums;
+                                  # single-device only — the mesh path keeps
+                                  # the batch axis). Joint per-λ trust
+                                  # region: same converged consensus to
+                                  # solver tolerance; False for the
+                                  # lock-step per-block trajectory
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -162,6 +170,7 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                     use_head: bool = False,
                     multi_rhs: bool = False,
                     pcg: bool = False,
+                    flat_blocks: bool = False,
                     jit: bool = True) -> Callable:
     """Build the jitted one-iteration program.
 
@@ -208,6 +217,8 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                           in_axes=(None, None, None, None, None, csc_outer,
                                    None, 0, 0, 0, None))
 
+    if flat_blocks and not multi_rhs:
+        raise ValueError("flat_blocks requires multi_rhs")
     if multi_rhs:
         if dual_layout:
             raise ValueError("multi_rhs and dual_layout are exclusive")
@@ -233,6 +244,51 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
                                         0, None, None, 0))
 
+        def solve_flat(indices, values, y, weight, offset, head,
+                       prior_mean, z, rho_eff, eps):
+            """All B blocks as ONE stacked (B*n, L) problem with offset
+            column ids. XLA's batched gathers/segment-sums measure ~1.9x
+            slower than their flat equivalents (tools/pass_microbench.py
+            tail_b4_vmapped vs tail_flat), so the block axis folds into the
+            coefficient axis; only the dense head keeps its batch axis
+            (MXU batched matmul). Semantics: same minimizer (the joint
+            objective is block-separable), but the trust region/CG/stop
+            rule run jointly per λ lane and the STRICTEST per-block eps
+            scale applies to every block — the converged consensus matches
+            the vmapped path to solver tolerance, not bitwise
+            (flat_blocks=False for the lock-step per-block trajectory)."""
+            (head_x, head_ids, t_rows, t_cols, t_vals,
+             tc_rows, tc_cols, tc_vals) = head
+            B, R, K = indices.shape
+            L, n = z.shape
+            dtype = values.dtype
+            boffs_n = jnp.arange(B, dtype=jnp.int32)[:, None] * n
+            kw = {}
+            if head_x is not None:
+                boffs_r = jnp.arange(B, dtype=jnp.int32)[:, None] * R
+                kw = dict(
+                    head_x=head_x,
+                    head_ids=(head_ids[None, :] + boffs_n).reshape(-1),
+                    tail_rows=(t_rows + boffs_r).reshape(-1),
+                    tail_cols=(t_cols + boffs_n).reshape(-1),
+                    tail_vals=t_vals.reshape(-1),
+                    tail_c_rows=(tc_rows + boffs_r).reshape(-1),
+                    tail_c_cols=(tc_cols + boffs_n).reshape(-1),
+                    tail_c_vals=tc_vals.reshape(-1))
+            prob = MultiProblem(
+                indices=(indices + boffs_n[..., None]).reshape(B * R, K),
+                values=values.reshape(B * R, K),
+                y=y.reshape(-1), weight=weight.reshape(-1),
+                offset=offset.reshape(-1),
+                prior_mean=prior_mean.transpose(1, 2, 0).reshape(B * n, L),
+                prior_var_inv=jnp.ones((B * n, 1), dtype) * rho_eff[None, :],
+                **kw)
+            res = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
+                             max_iter=max_newton_iter,
+                             max_cg_iter=max_cg_iter, precondition=pcg)
+            x = res.w.reshape(B, n, L).transpose(2, 0, 1)      # (L, B, n)
+            return x, res.newton_trips, res.cg_trips
+
     def step(indices, values, y, weight, offset, csc, head, present,
              block_valid, z, u, lam_vec, rho_eff, rho_base, eps):
         # rho_eff (boost/decay-adapted) shapes only the x-subproblem prior
@@ -244,7 +300,12 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
         prior_mean = z[:, None, :] - u                      # (L,B,n) = z - u_b
         prior_var_inv = (rho_eff[:, None]
                          * jnp.ones((1, n), dtype))          # priorVar = 1/rho
-        if multi_rhs:
+        if multi_rhs and flat_blocks:
+            # block axis folded into the coefficient axis: one un-batched
+            # solve over the stacked (B*n, L) slab (see solve_flat)
+            x, nt, cg = solve_flat(indices, values, y, weight, offset, head,
+                                   prior_mean, z, rho_eff, eps)
+        elif multi_rhs:
             # lambda path as trailing column axis: one data pass serves all
             # lambdas (see ops/tron_multi.py)
             x_T, nt, cg = solve_multi(indices, values, y, weight, offset, head,
@@ -411,6 +472,7 @@ class AdmmTrainer:
             use_head=data.head is not None,
             multi_rhs=config.multi_rhs and not config.dual_layout,
             pcg=config.pcg,
+            flat_blocks=self._use_flat(),
         )
 
         # sample-test loglik arrays (first MAX_NTEST_EVENTS rows)
@@ -423,6 +485,16 @@ class AdmmTrainer:
                 jnp.asarray(blk.y, dtype), jnp.asarray(blk.weight, dtype),
                 jnp.asarray(blk.offset, dtype))
             self.loglik_fn = build_loglik_fn()
+
+    # ------------------------------------------------------------------
+    def _use_flat(self) -> bool:
+        """Flat-blocks applies on single-device multi-RHS solves only: the
+        sharded mesh path needs the batch axis to shard over, and
+        head_block preconditioning needs per-block (R,H) heads."""
+        cfg = self.config
+        return (bool(cfg.flat_blocks) and self.mesh is None
+                and cfg.multi_rhs and not cfg.dual_layout
+                and cfg.pcg != "head_block")
 
     # ------------------------------------------------------------------
     def sample_loglik(self, z) -> np.ndarray:
@@ -473,7 +545,7 @@ class AdmmTrainer:
                 dual_layout=cfg.dual_layout,
                 use_head=self.data.head is not None,
                 multi_rhs=cfg.multi_rhs and not cfg.dual_layout,
-                pcg=cfg.pcg, jit=False)
+                pcg=cfg.pcg, flat_blocks=self._use_flat(), jit=False)
         step_raw = self._step_raw
 
         rho_base = jnp.asarray(self.rhos, dtype)

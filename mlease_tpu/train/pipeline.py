@@ -91,6 +91,7 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         pcg={"true": True, "false": False}.get(
             config.get_string("pcg", "true").lower(),
             config.get_string("pcg", "true").lower()),
+        flat_blocks=config.get_boolean("flat.blocks", True),
         dtype=dtype if dtype is not None else {
             "float32": jnp.float32, "float64": jnp.float64,
             "bfloat16": jnp.bfloat16,

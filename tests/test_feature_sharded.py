@@ -63,8 +63,10 @@ def test_feature_sharded_matches_plain(grid):
     rows = synth_rows(rng, 240)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    # flat_blocks=False: the FS trainer runs block-batched shard_map solves;
+    # the plain side must follow the identical vmapped trajectory
     base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
-                multi_rhs=True, pcg=True)
+                multi_rhs=True, pcg=True, flat_blocks=False)
     res_plain = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
 
     mesh = make_mesh_2d(cpu_devices(), block=db, feat=df)
@@ -87,7 +89,7 @@ def test_feature_sharded_l1_and_lambda_map():
     some_key = next(k for k in vocab.names if k != "(INTERCEPT)")
     base = dict(lambdas=[0.5, 4.0], num_iters=4, dtype=jnp.float64,
                 regularizer=1, lambda_map={some_key: 25.0},
-                multi_rhs=True, pcg=True)
+                multi_rhs=True, pcg=True, flat_blocks=False)
     res_plain = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
     mesh = make_mesh_2d(cpu_devices(), block=2, feat=4)
     res_fs = FeatureShardedAdmmTrainer(
@@ -110,7 +112,7 @@ def test_pipeline_feature_shards_key(tmp_path):
     base = {
         "input.paths": path, "num.blocks": "4", "lambda": "1,10",
         "num.iters": "4", "regularizer": "2", "dtype": "float64",
-        "force.output.overwrite": "true",
+        "force.output.overwrite": "true", "flat.blocks": "false",
     }
     out_a = str(tmp_path / "plain")
     out_b = str(tmp_path / "fs")
@@ -134,7 +136,8 @@ def test_feature_sharded_loglik_and_best_model():
     vocab = build_vocab(train_rows)
     data = pack_blocks([train_rows[:100], train_rows[100:]], vocab)
     base = dict(lambdas=[1.0, 100.0], num_iters=4, dtype=jnp.float64,
-                test_loglik_per_iter=True, multi_rhs=True, pcg=True)
+                test_loglik_per_iter=True, multi_rhs=True, pcg=True,
+                flat_blocks=False)
     res_plain = AdmmTrainer(data, vocab, AdmmConfig(**base),
                             test_rows=test_rows).run()
     mesh = make_mesh_2d(cpu_devices(), block=2, feat=4)

@@ -118,7 +118,10 @@ def test_admm_hybrid_on_mesh():
     rows = synth_rows(rng, 200)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::4] for i in range(4)], vocab)
-    base = dict(lambdas=[1.0], num_iters=4, dtype=jnp.float64, head_size=4)
+    # flat_blocks=False: the mesh path keeps the block batch axis, so the
+    # single-device side must run the identical vmapped trajectory
+    base = dict(lambdas=[1.0], num_iters=4, dtype=jnp.float64, head_size=4,
+                flat_blocks=False)
     res_single = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
     mesh = make_mesh(cpu_devices())
     res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()

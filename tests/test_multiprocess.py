@@ -62,7 +62,9 @@ def test_two_process_distributed_matches_single():
     rows = synth_rows(rng, 400)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::NBLOCKS] for i in range(NBLOCKS)], vocab)
+    # flat_blocks=False: the worker runs mesh-sharded (block-batched) solves
     cfg = AdmmConfig(lambdas=[1.0], rhos=[1.0], num_iters=4,
-                     dtype=jnp.float64, multi_rhs=True, pcg=True)
+                     dtype=jnp.float64, multi_rhs=True, pcg=True,
+                     flat_blocks=False)
     res = AdmmTrainer(data, vocab, cfg).run()
     assert zsums[0] == pytest.approx(float(np.abs(res.z).sum()), rel=1e-9)

@@ -25,8 +25,10 @@ def test_sharded_admm_matches_single_device(nblocks):
     vocab = build_vocab(rows)
     blocks = [rows[i::nblocks] for i in range(nblocks)]
     data = pack_blocks(blocks, vocab)
+    # flat_blocks=False: the mesh path keeps the block batch axis, so the
+    # single-device side must run the identical vmapped trajectory
     cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
-                     test_loglik_per_iter=True)
+                     test_loglik_per_iter=True, flat_blocks=False)
 
     res_single = AdmmTrainer(data, vocab, cfg, test_rows=test_rows).run()
 

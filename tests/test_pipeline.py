@@ -204,11 +204,14 @@ def test_pipeline_use_mesh_config(tmp_path):
     avro_mod.write_records(data, schemas.REGRESSION_PREPARE_OUTPUT, recs)
 
     def cfg(out, use_mesh):
+        # flat.blocks=false: the mesh path keeps the block batch axis, so
+        # the single-device side must run the identical vmapped trajectory
         return JobConfig({
             "input.paths": data, "output.base.path": str(tmp_path / out),
             "num.blocks": "4", "lambda": "1", "num.iters": "4",
             "regularizer": "2", "force.output.overwrite": "true",
-            "use.mesh": str(use_mesh).lower(), "dtype": "float64"})
+            "use.mesh": str(use_mesh).lower(), "dtype": "float64",
+            "flat.blocks": "false"})
 
     res_plain = run_regression_pipeline(cfg("p", False))
     res_mesh = run_regression_pipeline(cfg("m", True))

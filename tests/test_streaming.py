@@ -8,6 +8,10 @@ from mlease_tpu.core import build_vocab, pack_blocks
 from mlease_tpu.train.admm import AdmmConfig, AdmmTrainer
 from mlease_tpu.train.streaming import StreamingAdmmTrainer
 
+# flat_blocks=False throughout: these tests assert tight trajectory parity
+# between the streaming trainer (block-batched solves) and the in-memory
+# trainer, so the in-memory side must run the identical vmapped path.
+
 from test_admm import synth_rows
 
 
@@ -17,7 +21,7 @@ def test_streaming_matches_in_memory():
     vocab = build_vocab(rows)
     nblocks = 4
     blocks = [rows[i::nblocks] for i in range(nblocks)]
-    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
                      multi_rhs=False)  # streaming uses the vmapped solver
 
     data_full = pack_blocks(blocks, vocab)
@@ -41,7 +45,7 @@ def test_streaming_l1():
     rows = synth_rows(rng, 300)
     vocab = build_vocab(rows)
     blocks = [rows[i::2] for i in range(2)]
-    cfg = AdmmConfig(lambdas=[3.0], num_iters=8, regularizer=1,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[3.0], num_iters=8, regularizer=1,
                      dtype=jnp.float64, multi_rhs=False)
     res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run()
     res_stream = StreamingAdmmTrainer(
@@ -54,7 +58,7 @@ def test_streaming_hybrid_multi_rhs():
     rows = synth_rows(rng, 300)
     vocab = build_vocab(rows)
     blocks = [rows[i::3] for i in range(3)]
-    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
                      head_size=4, multi_rhs=True, pcg=True)
     res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run()
     res_stream = StreamingAdmmTrainer(
@@ -71,7 +75,7 @@ def test_streaming_loglik_and_best_model_parity():
     test_rows = synth_rows(rng, 150)
     vocab = build_vocab(rows)
     blocks = [rows[i::4] for i in range(4)]
-    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
                      multi_rhs=False, test_loglik_per_iter=True)
     res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg,
                           test_rows=test_rows).run()
@@ -100,7 +104,7 @@ def test_streaming_warm_start_boost_parity():
     vocab = build_vocab(rows)
     blocks = [rows[i::2] for i in range(2)]
     z0 = rng.normal(size=vocab.size) * 0.1
-    cfg = AdmmConfig(lambdas=[2.0], num_iters=4, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[2.0], num_iters=4, dtype=jnp.float64,
                      multi_rhs=False, initialize_boost_rate=5.0)
     res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run(z0=z0)
     res_stream = StreamingAdmmTrainer(
@@ -119,7 +123,7 @@ def test_streaming_mesh_parity():
     rows = synth_rows(rng, 300)
     vocab = build_vocab(rows)
     blocks = [rows[i::3] for i in range(3)]
-    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
                      multi_rhs=False)
     groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
     res_plain = StreamingAdmmTrainer(groups, vocab, cfg).run()
@@ -136,7 +140,7 @@ def test_streaming_double_buffer_order():
     rows = synth_rows(rng, 200)
     vocab = build_vocab(rows)
     blocks = [rows[i::3] for i in range(3)]
-    cfg = AdmmConfig(lambdas=[1.0], num_iters=1, dtype=jnp.float64,
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0], num_iters=1, dtype=jnp.float64,
                      multi_rhs=False)
     groups = [pack_blocks([b], vocab) for b in blocks]
     tr = StreamingAdmmTrainer(groups, vocab, cfg)

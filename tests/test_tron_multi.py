@@ -148,10 +148,11 @@ def test_admm_multi_rhs_matches_vmapped(head_size):
     rows = synth_rows(rng, 300)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::3] for i in range(3)], vocab)
-    # pcg=False: this test checks layout equivalence against the vmapped
-    # plain-CG solver, so both sides must follow the same CG trajectory
+    # pcg=False + flat_blocks=False: this test checks layout equivalence
+    # against the vmapped plain-CG solver, so both sides must follow the
+    # same lock-step per-block CG trajectory
     base = dict(lambdas=[1.0, 10.0], num_iters=5, dtype=jnp.float64,
-                head_size=head_size, pcg=False)
+                head_size=head_size, pcg=False, flat_blocks=False)
     res_vmap = AdmmTrainer(data, vocab,
                            AdmmConfig(multi_rhs=False, **base)).run()
     res_multi = AdmmTrainer(data, vocab,
@@ -167,8 +168,10 @@ def test_admm_multi_rhs_on_mesh():
     rows = synth_rows(rng, 200)
     vocab = build_vocab(rows)
     data = pack_blocks([rows[i::4] for i in range(4)], vocab)
+    # flat_blocks=False: the mesh path keeps the block batch axis, so the
+    # single-device side must run the identical vmapped trajectory
     base = dict(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
-                head_size=4, multi_rhs=True)
+                head_size=4, multi_rhs=True, flat_blocks=False)
     res_single = AdmmTrainer(data, vocab, AdmmConfig(**base)).run()
     mesh = make_mesh(cpu_devices())
     res_mesh = AdmmTrainer(data, vocab, AdmmConfig(**base), mesh=mesh).run()
@@ -252,3 +255,21 @@ def test_admm_pcg_matches_plain():
     # inner trajectories differ slightly (different CG paths at finite
     # tolerance) but consensus agrees to solver tolerance
     np.testing.assert_allclose(res_pcg.z, res_plain.z, rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("head_size", [0, 4])
+def test_admm_flat_blocks_matches_vmapped(head_size):
+    """flat_blocks folds B blocks into one (B*n, L) solve: joint trust
+    region, same converged consensus to solver tolerance."""
+    rng = np.random.default_rng(11)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    base = dict(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                head_size=head_size, liblinear_epsilon=1e-4)
+    res_vmap = AdmmTrainer(data, vocab,
+                           AdmmConfig(flat_blocks=False, **base)).run()
+    res_flat = AdmmTrainer(data, vocab,
+                           AdmmConfig(flat_blocks=True, **base)).run()
+    np.testing.assert_allclose(res_flat.z, res_vmap.z, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(res_flat.u, res_vmap.u, rtol=1e-3, atol=1e-4)

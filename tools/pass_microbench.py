@@ -37,8 +37,8 @@ def jax_fetch(x):
         np.asarray(jax.device_get(leaf))
 
 
-def _time_loop(step, x0, tries=3):
-    """Seconds per `step` application: N_TRIPS chained inside one program.
+def _time_loop(step, x0, tries=3, n=N_TRIPS):
+    """Seconds per `step` application: n chained inside one program.
 
     `step` must map x -> x (same pytree) with a true data dependence so the
     while-body cannot be hoisted; the added chaining arithmetic is a few
@@ -47,7 +47,7 @@ def _time_loop(step, x0, tries=3):
 
     @jax.jit
     def loop(x):
-        return jax.lax.fori_loop(0, N_TRIPS, lambda i, v: step(v), x)
+        return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
 
     out = loop(x0)
     jax_fetch(out)   # compile + settle
@@ -57,7 +57,7 @@ def _time_loop(step, x0, tries=3):
         jax_fetch(loop(x0))
         return time.monotonic() - t0
 
-    return min(total() for _ in range(tries)) / N_TRIPS
+    return min(total() for _ in range(tries)) / n
 
 
 def main():
@@ -159,6 +159,85 @@ def main():
             return idx.at[0].add((jnp.sum(g) * TINY).astype(jnp.int32))
         return step
 
+    # vmapped-over-all-blocks variants: the trainer's step runs B blocks in
+    # one program; comparing against B x single-block isolates vmap overhead
+    prob4 = tm.MultiProblem(
+        indices=jnp.asarray(data.indices),
+        values=jnp.asarray(data.values, dt),
+        y=jnp.asarray(data.y, dt),
+        weight=jnp.asarray(data.weight, dt),
+        offset=jnp.asarray(data.offset, dt),
+        prior_mean=jnp.zeros((B, n, L), dt),
+        prior_var_inv=jnp.ones((B, n, L), dt),
+        head_x=jnp.asarray(data.head, dt),
+        head_ids=jnp.asarray(data.head_ids),
+        tail_rows=jnp.asarray(data.tail_rows),
+        tail_cols=jnp.asarray(data.tail_cols),
+        tail_vals=jnp.asarray(data.tail_vals, dt),
+        tail_c_rows=jnp.asarray(data.tail_c_rows),
+        tail_c_cols=jnp.asarray(data.tail_c_cols),
+        tail_c_vals=jnp.asarray(data.tail_c_vals, dt))
+    in_axes4 = tm.MultiProblem(indices=0, values=0, y=0, weight=0, offset=0,
+                               prior_mean=0, prior_var_inv=0, head_x=0,
+                               head_ids=None, tail_rows=0, tail_cols=0,
+                               tail_vals=0, tail_c_rows=0, tail_c_cols=0,
+                               tail_c_vals=0)
+    hv4 = jax.vmap(tm.hv, in_axes=(in_axes4, 0, 0))
+    fgc4 = jax.vmap(lambda p, w: tm.fun_grad_curvature(p, w, with_diag=True),
+                    in_axes=(in_axes4, 0))
+    W4 = jnp.broadcast_to(W, (B, n, L))
+    Dm4 = jnp.broadcast_to(Dm, (B, rows, L))
+
+    def chainW4(fn):
+        return lambda x: x.at[0, 0, 0].add(jnp.sum(fn(x)) * TINY)
+
+    # one full warm-started multi-RHS TRON solve, all blocks, realistic
+    # tolerance — the whole x-update of an ADMM iteration in one number
+    def solve_all(x):
+        def one(p, w0):
+            r = tm.tron_multi(p, w0, 0.01, max_iter=1000, max_cg_iter=500,
+                              precondition=True)
+            return r.w, r.newton_trips, r.cg_trips
+        w, nt, cg = jax.vmap(one, in_axes=(in_axes4, 0))(prob4, x)
+        return w, nt, cg
+
+    solve_j = jax.jit(lambda x: solve_all(x)[0])
+    _, nt4, cg4 = jax.jit(solve_all)(W4 * 0)
+    solve_trips = (int(np.asarray(nt4).max()), int(np.asarray(cg4).max()))
+
+    W4_zero = W4 * 0
+
+    # flat-vs-vmapped experiment: the same B tails as (a) a vmapped batch
+    # over (B, T) COO into per-block (n, L) slabs vs (b) ONE flat (B*T,) COO
+    # with block-offset ids into a stacked (B*n, L) slab. Equal gathers,
+    # equal segment-sum elements — any delta is pure batching overhead.
+    tails_rows4 = jnp.asarray(data.tail_rows)
+    tails_cols4 = jnp.asarray(data.tail_cols)
+    tails_vals4 = jnp.asarray(data.tail_vals, dt)
+    flat_rows = jnp.asarray(
+        (data.tail_rows + (np.arange(B)[:, None] * rows)).reshape(-1))
+    flat_cols = jnp.asarray(
+        (data.tail_cols + (np.arange(B)[:, None] * n)).reshape(-1))
+    flat_vals = jnp.asarray(data.tail_vals.reshape(-1), dt)
+    Wflat = jnp.asarray(rng.normal(size=(B * n, L)) * 0.1, dt)
+
+    def tail_vmapped(x):
+        def one(tr, tc, tv, w):
+            return jax.ops.segment_sum(tv[:, None] * w[tc], tr,
+                                       num_segments=rows,
+                                       indices_are_sorted=True)
+        return jax.vmap(one)(tails_rows4, tails_cols4, tails_vals4, x)
+
+    def tail_flat(x):
+        return jax.ops.segment_sum(flat_vals[:, None] * x[flat_cols],
+                                   flat_rows, num_segments=B * rows,
+                                   indices_are_sorted=True)
+
+    def chain_solve(x):
+        # every trip re-solves from ~zero (cold inner solve, the iteration-1
+        # cost); the chained perturbation keeps the dependence real
+        return W4_zero.at[0, 0, 0].add(jnp.sum(solve_j(x)) * TINY)
+
     # constant per-trip cost of the harness itself (carry copy + chain
     # arithmetic + amortized dispatch/fetch): subtracted from every number
     null = _time_loop(chainW(lambda w: jnp.zeros((), dt)), W)
@@ -183,6 +262,14 @@ def main():
             chainW(lambda w: sum(jnp.sum(o) for o in
                                  tm.fun_grad_curvature(
                                      prob, w, with_diag=True))), W) * 1e3,
+        "tail_b4_vmapped_ms": t(chainW4(tail_vmapped), W4) * 1e3,
+        "tail_flat_ms": t(chainW(tail_flat), Wflat) * 1e3,
+        "hv_b4_ms": t(chainW4(lambda s: hv4(prob4, Dm4, s)), W4) * 1e3,
+        "fgc_b4_ms": t(
+            chainW4(lambda w: sum(jnp.sum(o) for o in fgc4(prob4, w))),
+            W4) * 1e3,
+        "solve_all_blocks_ms": max(
+            _time_loop(chain_solve, W4_zero, n=20) - null, 0.0) * 1e3,
         "gather_spread_ms": t(chain_gather(spread_idx), spread_idx) * 1e3,
         "gather_compact_ms": t(chain_gather(compact_idx), compact_idx) * 1e3,
         "gather_zipf_ordered_ms": t(chain_gather(zipf_ordered),
@@ -193,7 +280,10 @@ def main():
     res = {k: round(v, 4) for k, v in res.items()}
     shapes = {"rows": rows, "n": n, "L": L, "K_ell": data.indices.shape[2],
               "head": head, "tail_nnz": T, "block": "1 of {}".format(B),
-              "loop_trips": N_TRIPS, "device": str(jax.devices()[0])}
+              "loop_trips": N_TRIPS,
+              "solve_newton_trips": solve_trips[0],
+              "solve_cg_trips": solve_trips[1],
+              "device": str(jax.devices()[0])}
     print(json.dumps({"metric": "pass_microbench", "value": res["xv_ms"],
                       "unit": "ms per xv pass (single block)",
                       "vs_baseline": 0.0,
