@@ -55,6 +55,13 @@ class NaiveConfig:
     multi_rhs: bool = True        # lambda path as trailing axis (one data
                                   # pass per key serves all lambdas)
     pcg: bool = True              # Jacobi-preconditioned CG (multi-RHS only)
+    flat_blocks: bool = True      # fold the key axis into the coefficient
+                                  # axis (one stacked (K*n, L) solve —
+                                  # batched gathers measure ~1.9x flat, see
+                                  # train/admm.py); joint trust region and
+                                  # the strictest per-key eps scale; same
+                                  # converged models to solver tolerance.
+                                  # Single-device multi-RHS only.
     dtype: Any = jnp.float32
     max_newton_iter: int = 1000
     max_cg_iter: int = 500
@@ -157,8 +164,31 @@ def train_naive(keyed_rows: Mapping[str, Sequence[Mapping]],
                               max_cg_iter=cfg.max_cg_iter,
                               precondition=cfg.pcg).w
 
-        solve = jax.jit(jax.vmap(solve_key))
-        x_T = solve(indices, values, y, weight, offset, eps)  # (K, n, L)
+        if cfg.flat_blocks and mesh is None:
+            # keys fold into the coefficient axis: one (K*n, L) stacked
+            # solve (train/admm.py solve_flat rationale — batched gathers
+            # measure ~1.9x their flat equivalents)
+            @jax.jit
+            def solve_flat(indices, values, y, weight, offset, eps):
+                Kk, R, Kn = indices.shape
+                boffs = jnp.arange(Kk, dtype=jnp.int32)[:, None, None] * n
+                prob = MultiProblem(
+                    indices=(indices + boffs).reshape(Kk * R, Kn),
+                    values=values.reshape(Kk * R, Kn),
+                    y=y.reshape(-1), weight=weight.reshape(-1),
+                    offset=offset.reshape(-1),
+                    prior_mean=jnp.tile(pm_T, (Kk, 1)),
+                    prior_var_inv=jnp.tile(pvi_T, (Kk, 1)))
+                w = tron_multi(prob, jnp.zeros((Kk * n, L), dtype),
+                               jnp.min(eps), max_iter=cfg.max_newton_iter,
+                               max_cg_iter=cfg.max_cg_iter,
+                               precondition=cfg.pcg).w
+                return w.reshape(Kk, n, L)
+
+            x_T = solve_flat(indices, values, y, weight, offset, eps)
+        else:
+            solve = jax.jit(jax.vmap(solve_key))
+            x_T = solve(indices, values, y, weight, offset, eps)  # (K, n, L)
         x = np.asarray(x_T, np.float64).transpose(2, 0, 1)[:, :data.nblocks]
     else:
         solver = partial(tron, max_iter=cfg.max_newton_iter,

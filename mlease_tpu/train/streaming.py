@@ -48,8 +48,13 @@ logger = logging.getLogger(__name__)
 
 def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                        use_head: bool = False, multi_rhs: bool = False,
-                       pcg: bool = False):
-    """Jitted (lambda x block) x-update for one data group (no consensus)."""
+                       pcg: bool = False, flat_blocks: bool = False):
+    """Jitted (lambda x block) x-update for one data group (no consensus).
+
+    flat_blocks: fold the group's block axis into the coefficient axis (one
+    stacked (Bg*n, L) solve — see train/admm.py solve_flat; batched gathers
+    measure ~1.9x their flat equivalents). Joint per-λ trust region and the
+    strictest per-block eps scale; same converged x to solver tolerance."""
     solver = partial(tron, max_iter=max_newton_iter, max_cg_iter=max_cg_iter)
 
     def solve_one(indices, values, y, weight, offset, head, prior_mean,
@@ -96,13 +101,49 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
                                         0, None, None, 0))
 
+        def solve_flat(indices, values, y, weight, offset, head,
+                       prior_mean, z, rho_eff, eps):
+            (head_x, head_ids, t_rows, t_cols, t_vals,
+             tc_rows, tc_cols, tc_vals) = head
+            B, R, K = indices.shape
+            L, n = z.shape
+            dtype = values.dtype
+            boffs_n = jnp.arange(B, dtype=jnp.int32)[:, None] * n
+            kw = {}
+            if head_x is not None:
+                boffs_r = jnp.arange(B, dtype=jnp.int32)[:, None] * R
+                kw = dict(
+                    head_x=head_x,
+                    head_ids=(head_ids[None, :] + boffs_n).reshape(-1),
+                    tail_rows=(t_rows + boffs_r).reshape(-1),
+                    tail_cols=(t_cols + boffs_n).reshape(-1),
+                    tail_vals=t_vals.reshape(-1),
+                    tail_c_rows=(tc_rows + boffs_r).reshape(-1),
+                    tail_c_cols=(tc_cols + boffs_n).reshape(-1),
+                    tail_c_vals=tc_vals.reshape(-1))
+            prob = MultiProblem(
+                indices=(indices + boffs_n[..., None]).reshape(B * R, K),
+                values=values.reshape(B * R, K),
+                y=y.reshape(-1), weight=weight.reshape(-1),
+                offset=offset.reshape(-1),
+                prior_mean=prior_mean.transpose(1, 2, 0).reshape(B * n, L),
+                prior_var_inv=jnp.ones((B * n, 1), dtype) * rho_eff[None, :],
+                **kw)
+            w = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
+                           max_iter=max_newton_iter,
+                           max_cg_iter=max_cg_iter, precondition=pcg).w
+            return w.reshape(B, n, L).transpose(2, 0, 1)   # (L, B, n)
+
     def run(indices, values, y, weight, offset, head, present, z, u,
             rho_eff, eps):
         dtype = z.dtype
         L, n = z.shape
         prior_mean = z[:, None, :] - u
         prior_var_inv = rho_eff[:, None] * jnp.ones((1, n), dtype)
-        if multi_rhs:
+        if multi_rhs and flat_blocks:
+            x = solve_flat(indices, values, y, weight, offset, head,
+                           prior_mean, z, rho_eff, eps)
+        elif multi_rhs:
             x_T = solve_multi(indices, values, y, weight, offset, head,
                               prior_mean.transpose(1, 2, 0),
                               prior_var_inv.T, z.T, eps)
@@ -159,7 +200,10 @@ class StreamingAdmmTrainer:
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
             use_head=self.use_head,
-            multi_rhs=config.multi_rhs, pcg=config.pcg)
+            multi_rhs=config.multi_rhs, pcg=config.pcg,
+            flat_blocks=(bool(config.flat_blocks) and mesh is None
+                         and config.multi_rhs
+                         and config.pcg != "head_block"))
         self.eps_scales = [obj.class_balance_eps_scale(g.y, g.nrows)
                            for g in self.groups]
         self.lam_vec = np.stack([

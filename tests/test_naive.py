@@ -94,13 +94,37 @@ def test_naive_no_intercept_mode():
     assert model.intercept == 0.0
 
 
+def test_naive_flat_matches_vmapped():
+    """flat_blocks folds keys into one (K*n, L) solve: same converged
+    models to solver tolerance."""
+    rng = np.random.default_rng(12)
+    keyed = {str(i): synth_rows(rng, 60 + 10 * i) for i in range(3)}
+    vocab = build_vocab([r for rows in keyed.values() for r in rows])
+    # very tight inner eps: both sides then sit at the same minimizer and
+    # the comparison checks layout correctness, not stop-rule granularity
+    base = dict(lambdas=[1.0, 4.0], dtype=jnp.float64,
+                liblinear_epsilon=1e-9)
+    res_v = train_naive(keyed, NaiveConfig(flat_blocks=False, **base),
+                        vocab=vocab)
+    res_f = train_naive(keyed, NaiveConfig(flat_blocks=True, **base),
+                        vocab=vocab)
+    assert set(res_f.models) == set(res_v.models)
+    for k in res_v.models:
+        np.testing.assert_allclose(res_f.models[k].to_dense(vocab),
+                                   res_v.models[k].to_dense(vocab),
+                                   rtol=1e-3, atol=1e-6)
+
+
 def test_naive_on_mesh_matches_single():
     from mlease_tpu.parallel import cpu_devices, make_mesh
 
     rng = np.random.default_rng(5)
     keyed = {str(i): synth_rows(rng, 60 + 10 * i) for i in range(3)}
     vocab = build_vocab([r for rows in keyed.values() for r in rows])
-    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64)
+    # flat_blocks=False: the mesh path keeps the key batch axis, so the
+    # single-device side must run the identical vmapped trajectory
+    cfg = NaiveConfig(lambdas=[1.0, 4.0], dtype=jnp.float64,
+                      flat_blocks=False)
     res_single = train_naive(keyed, cfg, vocab=vocab)
     mesh = make_mesh(cpu_devices())
     res_mesh = train_naive(keyed, cfg, vocab=vocab, mesh=mesh)

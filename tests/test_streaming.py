@@ -15,6 +15,23 @@ from mlease_tpu.train.streaming import StreamingAdmmTrainer
 from test_admm import synth_rows
 
 
+def test_streaming_flat_matches_vmapped():
+    """flat_blocks folds each group's blocks into one stacked solve: same
+    converged consensus to solver tolerance."""
+    rng = np.random.default_rng(13)
+    rows = synth_rows(rng, 400)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    base = dict(lambdas=[1.0, 10.0], num_iters=6, dtype=jnp.float64,
+                multi_rhs=True, liblinear_epsilon=1e-4)
+    res_v = StreamingAdmmTrainer(
+        groups, vocab, AdmmConfig(flat_blocks=False, **base)).run()
+    res_f = StreamingAdmmTrainer(
+        groups, vocab, AdmmConfig(flat_blocks=True, **base)).run()
+    np.testing.assert_allclose(res_f.z, res_v.z, rtol=1e-4, atol=2e-5)
+
+
 def test_streaming_matches_in_memory():
     rng = np.random.default_rng(0)
     rows = synth_rows(rng, 400)
