@@ -157,6 +157,17 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
 
     flops_iter = passes_per_iter * flops_pass
     bytes_iter = passes_per_iter * bytes_pass
+    # the workload is SPARSE-ROW-RATE bound, not streaming-bandwidth bound:
+    # random (L)-wide row accesses issue at ~2.7 ns/row on v5e regardless of
+    # index locality, and a full tail pass (gather + scale + sorted
+    # segment-reduce) runs at ~9 ns/row (tools/pass_microbench.py), so the
+    # honest speed-of-light denominator is that measured per-row processing
+    # floor, not the 819 GB/s sequential HBM peak (bw_util looks ~5% because
+    # 12-byte random accesses can never stream)
+    ROW_NS_PEAK = 9.0
+    sparse_rows_pass = B * (R * K + T) + B * H * 2  # gathers + scatter RMWs
+    rows_iter = passes_per_iter * sparse_rows_pass
+    ns_per_row = iter_s * 1e9 / max(rows_iter, 1)
     peaks, kind = _chip_peaks()
     return {
         "passes_per_iter": round(passes_per_iter, 1),
@@ -166,8 +177,13 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
         "achieved_hbm_gbps": round(bytes_iter / iter_s / 1e9, 1),
         "mfu": round(flops_iter / iter_s / peaks["flops"], 5),
         "bw_util": round(bytes_iter / iter_s / peaks["hbm"], 4),
+        "ns_per_sparse_row": round(ns_per_row, 2),
+        "row_rate_util": round(ROW_NS_PEAK / max(ns_per_row, ROW_NS_PEAK),
+                               3),
         "chip": kind,
-        "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"]},
+        "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"],
+                  "row_ns_measured_floor": ROW_NS_PEAK,
+                  "gather_only_ns_per_row": 2.7},
     }
 
 
