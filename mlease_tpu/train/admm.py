@@ -494,7 +494,9 @@ class AdmmTrainer:
         cfg = self.config
         return (bool(cfg.flat_blocks) and self.mesh is None
                 and cfg.multi_rhs and not cfg.dual_layout
-                and cfg.pcg != "head_block")
+                and cfg.pcg != "head_block"
+                # stacked ids live in int32: B*n must stay addressable
+                and self.data.nblocks * self.dim < 2**31)
 
     # ------------------------------------------------------------------
     def sample_loglik(self, z) -> np.ndarray:

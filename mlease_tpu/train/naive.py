@@ -164,7 +164,8 @@ def train_naive(keyed_rows: Mapping[str, Sequence[Mapping]],
                               max_cg_iter=cfg.max_cg_iter,
                               precondition=cfg.pcg).w
 
-        if cfg.flat_blocks and mesh is None:
+        # stacked ids live in int32: K*n must stay addressable
+        if cfg.flat_blocks and mesh is None and len(kept_keys) * n < 2**31:
             # keys fold into the coefficient axis: one (K*n, L) stacked
             # solve (train/admm.py solve_flat rationale — batched gathers
             # measure ~1.9x their flat equivalents)

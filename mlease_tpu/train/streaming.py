@@ -203,7 +203,10 @@ class StreamingAdmmTrainer:
             multi_rhs=config.multi_rhs, pcg=config.pcg,
             flat_blocks=(bool(config.flat_blocks) and mesh is None
                          and config.multi_rhs
-                         and config.pcg != "head_block"))
+                         and config.pcg != "head_block"
+                         # stacked ids live in int32
+                         and max(g.nblocks for g in self.groups)
+                         * self.dim < 2**31))
         self.eps_scales = [obj.class_balance_eps_scale(g.y, g.nrows)
                            for g in self.groups]
         self.lam_vec = np.stack([
