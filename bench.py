@@ -46,10 +46,12 @@ import numpy as np
 # bf16 MXU peak (the number "speed-of-light" claims are judged against even
 # though the solver accumulates in f32); bw_util against HBM bandwidth.
 CHIP_PEAKS = {
-    # TPU v5e: 197 bf16 TFLOP/s, 819 GB/s HBM per chip
-    "TPU v5 lite": {"flops": 197e12, "hbm": 819e9},
-    "TPU v5e": {"flops": 197e12, "hbm": 819e9},
-    # TPU v4: 275 bf16 TFLOP/s, 1228 GB/s
+    # TPU v5e: 197 bf16 TFLOP/s, 819 GB/s HBM per chip; row_ns = measured
+    # per-sparse-row processing floor (full tail pass: gather + scale +
+    # sorted segment-reduce; tools/pass_microbench.py), gather-only ~2.7 ns
+    "TPU v5 lite": {"flops": 197e12, "hbm": 819e9, "row_ns": 9.0},
+    "TPU v5e": {"flops": 197e12, "hbm": 819e9, "row_ns": 9.0},
+    # TPU v4: 275 bf16 TFLOP/s, 1228 GB/s; row floor unmeasured
     "TPU v4": {"flops": 275e12, "hbm": 1228e9},
 }
 DEFAULT_PEAKS = {"flops": 197e12, "hbm": 819e9}
@@ -158,17 +160,16 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
     flops_iter = passes_per_iter * flops_pass
     bytes_iter = passes_per_iter * bytes_pass
     # the workload is SPARSE-ROW-RATE bound, not streaming-bandwidth bound:
-    # random (L)-wide row accesses issue at ~2.7 ns/row on v5e regardless of
-    # index locality, and a full tail pass (gather + scale + sorted
-    # segment-reduce) runs at ~9 ns/row (tools/pass_microbench.py), so the
-    # honest speed-of-light denominator is that measured per-row processing
-    # floor, not the 819 GB/s sequential HBM peak (bw_util looks ~5% because
-    # 12-byte random accesses can never stream)
-    ROW_NS_PEAK = 9.0
+    # random (L)-wide row accesses issue at a per-row rate regardless of
+    # index locality (tools/pass_microbench.py), so the honest
+    # speed-of-light denominator is the chip's measured per-row processing
+    # floor (CHIP_PEAKS row_ns), not its sequential HBM peak (bw_util looks
+    # ~5% because 12-byte random accesses can never stream)
     sparse_rows_pass = B * (R * K + T) + B * H * 2  # gathers + scatter RMWs
     rows_iter = passes_per_iter * sparse_rows_pass
     ns_per_row = iter_s * 1e9 / max(rows_iter, 1)
     peaks, kind = _chip_peaks()
+    row_ns_peak = peaks.get("row_ns")  # None on chips without a measured floor
     return {
         "passes_per_iter": round(passes_per_iter, 1),
         "model_flops_per_iter": float(f"{flops_iter:.4g}"),
@@ -178,12 +179,11 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
         "mfu": round(flops_iter / iter_s / peaks["flops"], 5),
         "bw_util": round(bytes_iter / iter_s / peaks["hbm"], 4),
         "ns_per_sparse_row": round(ns_per_row, 2),
-        "row_rate_util": round(ROW_NS_PEAK / max(ns_per_row, ROW_NS_PEAK),
-                               3),
+        "row_rate_util": (round(row_ns_peak / max(ns_per_row, row_ns_peak),
+                                3) if row_ns_peak else None),
         "chip": kind,
         "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"],
-                  "row_ns_measured_floor": ROW_NS_PEAK,
-                  "gather_only_ns_per_row": 2.7},
+                  "row_ns_measured_floor": row_ns_peak},
     }
 
 
@@ -456,7 +456,8 @@ def bench_admm():
     cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
                      dual_layout=bool(int(os.environ.get("BENCH_DUAL", "0"))),
                      head_size=int(os.environ.get("BENCH_HEAD", "512")),
-                     # BENCH_PCG: 0|1|jacobi|head_block
+                     # BENCH_PCG: 0|1|jacobi|head_block (validated in the
+                     # solver — unknown values raise rather than no-op)
                      pcg={"0": False, "1": True}.get(
                          os.environ.get("BENCH_PCG", "1"),
                          os.environ.get("BENCH_PCG", "1")),
@@ -562,7 +563,9 @@ def bench_admm():
             "steady_iter_s": round(steady_iter_s, 4),
             "head_size": cfg.head_size,
             "multi_rhs": cfg.multi_rhs,
-            "flat_blocks": cfg.flat_blocks,
+            # the EFFECTIVE layout (flat auto-disables for head_block pcg /
+            # oversized ids), not the requested config
+            "flat_blocks": trainer._use_flat(),
             "newton_trips_per_iter": round(nt_total / iters, 1),
             "cg_trips_per_iter": round(cg_total / iters, 1),
             "roofline": roof,

@@ -80,10 +80,9 @@ def per_feature_lambda(lam: float, dim: int, lambda_map: dict[str, float] | None
 def z_update_l2(xbar_plus_ubar, lam_vec, rho: float, nblocks: int,
                 intercept_index: int | None, penalize_intercept: bool = False):
     """z = kappa * (xbar + ubar), kappa = N*rho/(lambda + N*rho) per feature
-    (RegressionAdmmTrain.java:370-404)."""
-    nrho = nblocks * rho
-    kappa = nrho / (lam_vec + nrho)
-    z = kappa * xbar_plus_ubar
+    (RegressionAdmmTrain.java:370-404). Shrinkage body shared with the
+    masked (feature-sharded) variant below."""
+    z = z_update_l2_masked(xbar_plus_ubar, lam_vec, rho, nblocks, None)
     if intercept_index is not None and not penalize_intercept:
         z = z.at[intercept_index].set(xbar_plus_ubar[intercept_index])
     return z
@@ -100,16 +99,13 @@ def z_update_l1(xbar_plus_ubar, lam_vec, rho: float, nblocks: int,
     (RegressionAdmmTrain.java:420-437) shrinks |v| > t toward zero but leaves
     the middle band *unchanged* instead of zeroing it, so it never produces
     exact sparsity. `reference_compat=True` reproduces that behavior bit-for-
-    bit; the default performs the correct soft-threshold.
+    bit; the default performs the correct soft-threshold. Shrinkage body
+    shared with the masked (feature-sharded) variant below.
     """
-    t = lam_vec / (rho * nblocks)
-    v = xbar_plus_ubar
-    if reference_compat:
-        z = jnp.where(v > t, v - t, jnp.where(v < -t, v + t, v))
-    else:
-        z = jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
+    z = z_update_l1_masked(xbar_plus_ubar, lam_vec, rho, nblocks, None,
+                           reference_compat=reference_compat)
     if intercept_index is not None and not penalize_intercept:
-        z = z.at[intercept_index].set(v[intercept_index])
+        z = z.at[intercept_index].set(xbar_plus_ubar[intercept_index])
     return z
 
 

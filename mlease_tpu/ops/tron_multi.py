@@ -65,6 +65,45 @@ class MultiProblem(NamedTuple):
         return self.prior_mean.shape[1]
 
 
+def stack_blocks(indices, values, y, weight, offset, head,
+                 prior_mean, rho_eff) -> "MultiProblem":
+    """Fold B batched blocks into ONE flat MultiProblem (flat-blocks form).
+
+    Shared by the flat_blocks paths of train/admm.py and train/streaming.py
+    — the block-offset id construction and its sortedness invariants live
+    here once. indices/values are (B, R, K); y/weight/offset (B, R); `head`
+    the 8-tuple of hybrid arrays (all (B, ...) or None); prior_mean
+    (L, B, n); rho_eff (L,) is the per-lane scalar Gaussian-prior precision.
+    Per-block sorted tails stay globally sorted because block-major offsets
+    are monotone. Callers must ensure B*n and B*R fit int32."""
+    (head_x, head_ids, t_rows, t_cols, t_vals,
+     tc_rows, tc_cols, tc_vals) = head
+    B, R, K = indices.shape
+    L, _, n = prior_mean.shape
+    dtype = values.dtype
+    boffs_n = jnp.arange(B, dtype=jnp.int32)[:, None] * n
+    kw = {}
+    if head_x is not None:
+        boffs_r = jnp.arange(B, dtype=jnp.int32)[:, None] * R
+        kw = dict(
+            head_x=head_x,
+            head_ids=(head_ids[None, :] + boffs_n).reshape(-1),
+            tail_rows=(t_rows + boffs_r).reshape(-1),
+            tail_cols=(t_cols + boffs_n).reshape(-1),
+            tail_vals=t_vals.reshape(-1),
+            tail_c_rows=(tc_rows + boffs_r).reshape(-1),
+            tail_c_cols=(tc_cols + boffs_n).reshape(-1),
+            tail_c_vals=tc_vals.reshape(-1))
+    return MultiProblem(
+        indices=(indices + boffs_n[..., None]).reshape(B * R, K),
+        values=values.reshape(B * R, K),
+        y=y.reshape(-1), weight=weight.reshape(-1),
+        offset=offset.reshape(-1),
+        prior_mean=prior_mean.transpose(1, 2, 0).reshape(B * n, L),
+        prior_var_inv=jnp.ones((B * n, 1), dtype) * rho_eff[None, :],
+        **kw)
+
+
 def _psum(x: jax.Array, axis_name: str | None) -> jax.Array:
     """Feature-model-parallel hook: when the problem's coefficient axis is
     sharded over a mesh axis (each device holds a column shard with local
@@ -509,6 +548,13 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
     L = W0.shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, dtype), (L,))
     kind = {False: "none", True: "jacobi"}.get(precondition, precondition)
+    if kind not in ("none", "jacobi", "head_block"):
+        # an unrecognized value must NOT fall through to the no-precond
+        # branch: the placeholder M would reach _trcg and divide-by-zero the
+        # residual, silently turning every solve into a 0-iteration no-op
+        raise ValueError(
+            f"precondition must be False/True/'jacobi'/'head_block'; "
+            f"got {precondition!r}")
     if kind == "head_block" and (prob.head_x is None
                                  or prob.head_x.ndim == 3):
         raise ValueError("head_block preconditioning needs the hybrid "

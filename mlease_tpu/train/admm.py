@@ -244,45 +244,26 @@ def build_admm_step(nblocks: int, regularizer: int, intercept_index: int | None,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
                                         0, None, None, 0))
 
+        from mlease_tpu.ops.tron_multi import stack_blocks
+
         def solve_flat(indices, values, y, weight, offset, head,
                        prior_mean, z, rho_eff, eps):
             """All B blocks as ONE stacked (B*n, L) problem with offset
-            column ids. XLA's batched gathers/segment-sums measure ~1.9x
-            slower than their flat equivalents (tools/pass_microbench.py
-            tail_b4_vmapped vs tail_flat), so the block axis folds into the
-            coefficient axis; only the dense head keeps its batch axis
-            (MXU batched matmul). Semantics: same minimizer (the joint
-            objective is block-separable), but the trust region/CG/stop
-            rule run jointly per λ lane and the STRICTEST per-block eps
-            scale applies to every block — the converged consensus matches
-            the vmapped path to solver tolerance, not bitwise
-            (flat_blocks=False for the lock-step per-block trajectory)."""
-            (head_x, head_ids, t_rows, t_cols, t_vals,
-             tc_rows, tc_cols, tc_vals) = head
-            B, R, K = indices.shape
+            column ids (ops/tron_multi.py stack_blocks). XLA's batched
+            gathers/segment-sums measure ~1.9x slower than their flat
+            equivalents (tools/pass_microbench.py tail_b4_vmapped vs
+            tail_flat), so the block axis folds into the coefficient axis;
+            only the dense head keeps its batch axis (MXU batched matmul).
+            Semantics: same minimizer (the joint objective is
+            block-separable), but the trust region/CG/stop rule run jointly
+            per λ lane and the STRICTEST per-block eps scale applies to
+            every block — the converged consensus matches the vmapped path
+            to solver tolerance, not bitwise (flat_blocks=False for the
+            lock-step per-block trajectory)."""
+            B = indices.shape[0]
             L, n = z.shape
-            dtype = values.dtype
-            boffs_n = jnp.arange(B, dtype=jnp.int32)[:, None] * n
-            kw = {}
-            if head_x is not None:
-                boffs_r = jnp.arange(B, dtype=jnp.int32)[:, None] * R
-                kw = dict(
-                    head_x=head_x,
-                    head_ids=(head_ids[None, :] + boffs_n).reshape(-1),
-                    tail_rows=(t_rows + boffs_r).reshape(-1),
-                    tail_cols=(t_cols + boffs_n).reshape(-1),
-                    tail_vals=t_vals.reshape(-1),
-                    tail_c_rows=(tc_rows + boffs_r).reshape(-1),
-                    tail_c_cols=(tc_cols + boffs_n).reshape(-1),
-                    tail_c_vals=tc_vals.reshape(-1))
-            prob = MultiProblem(
-                indices=(indices + boffs_n[..., None]).reshape(B * R, K),
-                values=values.reshape(B * R, K),
-                y=y.reshape(-1), weight=weight.reshape(-1),
-                offset=offset.reshape(-1),
-                prior_mean=prior_mean.transpose(1, 2, 0).reshape(B * n, L),
-                prior_var_inv=jnp.ones((B * n, 1), dtype) * rho_eff[None, :],
-                **kw)
+            prob = stack_blocks(indices, values, y, weight, offset, head,
+                                prior_mean, rho_eff)
             res = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
                              max_iter=max_newton_iter,
                              max_cg_iter=max_cg_iter, precondition=pcg)
@@ -495,8 +476,9 @@ class AdmmTrainer:
         return (bool(cfg.flat_blocks) and self.mesh is None
                 and cfg.multi_rhs and not cfg.dual_layout
                 and cfg.pcg != "head_block"
-                # stacked ids live in int32: B*n must stay addressable
-                and self.data.nblocks * self.dim < 2**31)
+                # stacked column AND row ids live in int32
+                and self.data.nblocks * self.dim < 2**31
+                and self.data.nblocks * self.data.padded_rows < 2**31)
 
     # ------------------------------------------------------------------
     def sample_loglik(self, z) -> np.ndarray:

@@ -212,9 +212,13 @@ class FeatureShardedAdmmTrainer:
         """(S, L, nl) device -> (L, n) host (test/serialization only)."""
         return unshard_feature_vector(np.asarray(z, np.float64), self.dim)
 
-    def sample_loglik(self, z) -> np.ndarray:
+    def sample_loglik(self, z, z_host: np.ndarray | None = None) -> np.ndarray:
+        """z_host: pass a pre-gathered (L, n) copy to avoid a second full
+        device->host transfer of the model per iteration."""
         idx, val, y, w, off = self.test_arrays
-        z_full = jnp.asarray(self._gather_z(z), self.config.dtype)
+        if z_host is None:
+            z_host = self._gather_z(z)
+        z_full = jnp.asarray(z_host, self.config.dtype)
         return np.asarray(self.loglik_fn(idx, val, y, w, off, z_full))
 
     # ------------------------------------------------------------------
@@ -291,8 +295,8 @@ class FeatureShardedAdmmTrainer:
                 iteration, inner_eps, maxdiff, mindiff, iter_times[-1])
 
             if self.test_arrays is not None and cfg.test_loglik_per_iter:
-                lls = self.sample_loglik(z)
                 z_host = self._gather_z(z)
+                lls = self.sample_loglik(z, z_host=z_host)
                 for li, (lam, ll) in enumerate(zip(self.lambdas, lls)):
                     ll = float(ll)
                     loglik_history.append({"lambda": _lambda_key(lam),

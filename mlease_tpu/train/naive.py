@@ -164,8 +164,13 @@ def train_naive(keyed_rows: Mapping[str, Sequence[Mapping]],
                               max_cg_iter=cfg.max_cg_iter,
                               precondition=cfg.pcg).w
 
-        # stacked ids live in int32: K*n must stay addressable
-        if cfg.flat_blocks and mesh is None and len(kept_keys) * n < 2**31:
+        # stacked column AND row ids live in int32 (no hybrid head here, so
+        # only the column ids are offset — the row guard keeps symmetry
+        # with the other flat paths and costs nothing)
+        n_keys_pad = pad_data.indices.shape[0]
+        if (cfg.flat_blocks and mesh is None
+                and n_keys_pad * n < 2**31
+                and n_keys_pad * pad_data.padded_rows < 2**31):
             # keys fold into the coefficient axis: one (K*n, L) stacked
             # solve (train/admm.py solve_flat rationale — batched gathers
             # measure ~1.9x their flat equivalents)

@@ -58,6 +58,16 @@ def read_lambda_rho(path: str) -> dict[float, float]:
             for rec in avro.read_records(path)}
 
 
+def _parse_pcg(raw: str):
+    """\"pcg\" job key: true|false|jacobi|head_block (AdmmConfig.pcg).
+    Unknown values are rejected HERE — a typo must not reach the solver."""
+    val = {"true": True, "false": False}.get(raw.lower(), raw.lower())
+    if val not in (True, False, "jacobi", "head_block"):
+        raise ValueError(
+            f"pcg must be true|false|jacobi|head_block; got {raw!r}")
+    return val
+
+
 def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
     lambdas = config.get_float_list("lambda")
     rhos = None
@@ -87,10 +97,7 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         head_size=config.get_int("head.size", 0),
         dual_layout=config.get_boolean("dual.layout", False),
         multi_rhs=config.get_boolean("multi.rhs", True),
-        # "pcg": true|false|jacobi|head_block (AdmmConfig.pcg)
-        pcg={"true": True, "false": False}.get(
-            config.get_string("pcg", "true").lower(),
-            config.get_string("pcg", "true").lower()),
+        pcg=_parse_pcg(config.get_string("pcg", "true")),
         flat_blocks=config.get_boolean("flat.blocks", True),
         dtype=dtype if dtype is not None else {
             "float32": jnp.float32, "float64": jnp.float64,
@@ -273,6 +280,12 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         mesh2d = make_mesh_2d(devs, block=block, feat=feat_shards)
         logger.info("feature-sharded mesh: %d block x %d feat devices",
                     block, feat_shards)
+        for unsupported in ("resume", "write.train.output", "profile.dir"):
+            if config.get_string(unsupported, ""):
+                logger.warning(
+                    "%s is not supported with mesh.feature.shards and is "
+                    "ignored (the feature-sharded trainer has no "
+                    "checkpoint/interop dump path yet)", unsupported)
         fs_trainer = FeatureShardedAdmmTrainer(
             data, vocab, cfg, test_rows=test_rows, mesh=mesh2d)
         result = fs_trainer.run(z0=z0)

@@ -101,34 +101,14 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
                                         0, None, None, 0))
 
+        from mlease_tpu.ops.tron_multi import stack_blocks
+
         def solve_flat(indices, values, y, weight, offset, head,
                        prior_mean, z, rho_eff, eps):
-            (head_x, head_ids, t_rows, t_cols, t_vals,
-             tc_rows, tc_cols, tc_vals) = head
-            B, R, K = indices.shape
+            B = indices.shape[0]
             L, n = z.shape
-            dtype = values.dtype
-            boffs_n = jnp.arange(B, dtype=jnp.int32)[:, None] * n
-            kw = {}
-            if head_x is not None:
-                boffs_r = jnp.arange(B, dtype=jnp.int32)[:, None] * R
-                kw = dict(
-                    head_x=head_x,
-                    head_ids=(head_ids[None, :] + boffs_n).reshape(-1),
-                    tail_rows=(t_rows + boffs_r).reshape(-1),
-                    tail_cols=(t_cols + boffs_n).reshape(-1),
-                    tail_vals=t_vals.reshape(-1),
-                    tail_c_rows=(tc_rows + boffs_r).reshape(-1),
-                    tail_c_cols=(tc_cols + boffs_n).reshape(-1),
-                    tail_c_vals=tc_vals.reshape(-1))
-            prob = MultiProblem(
-                indices=(indices + boffs_n[..., None]).reshape(B * R, K),
-                values=values.reshape(B * R, K),
-                y=y.reshape(-1), weight=weight.reshape(-1),
-                offset=offset.reshape(-1),
-                prior_mean=prior_mean.transpose(1, 2, 0).reshape(B * n, L),
-                prior_var_inv=jnp.ones((B * n, 1), dtype) * rho_eff[None, :],
-                **kw)
+            prob = stack_blocks(indices, values, y, weight, offset, head,
+                                prior_mean, rho_eff)
             w = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
                            max_iter=max_newton_iter,
                            max_cg_iter=max_cg_iter, precondition=pcg).w
@@ -204,9 +184,11 @@ class StreamingAdmmTrainer:
             flat_blocks=(bool(config.flat_blocks) and mesh is None
                          and config.multi_rhs
                          and config.pcg != "head_block"
-                         # stacked ids live in int32
+                         # stacked column AND row ids live in int32
                          and max(g.nblocks for g in self.groups)
-                         * self.dim < 2**31))
+                         * self.dim < 2**31
+                         and max(g.nblocks * g.padded_rows
+                                 for g in self.groups) < 2**31))
         self.eps_scales = [obj.class_balance_eps_scale(g.y, g.nrows)
                            for g in self.groups]
         self.lam_vec = np.stack([

@@ -217,6 +217,28 @@ def test_head_block_pcg_reaches_same_solution():
     assert int(res_blk.cg_trips) <= int(res_jac.cg_trips)
 
 
+def test_unknown_precondition_rejected():
+    """A typo'd precondition string must raise, not silently no-op the
+    solver (the placeholder M would zero every CG step)."""
+    rng = np.random.default_rng(14)
+    rows = synth_rows(rng, 40)
+    vocab = build_vocab(rows)
+    n = vocab.size
+    pvis = np.stack([np.full(n, 1.0)])
+    pms = np.zeros((1, n))
+    _data, mp = make_multi(rows, vocab, pvis, pms)
+    for bad in ("1", "yes", "Jacobi ", "head-block"):
+        with pytest.raises(ValueError, match="precondition"):
+            tron_multi(mp, jnp.zeros((n, 1), jnp.float64), 1e-6,
+                       precondition=bad)
+
+    from mlease_tpu.train.pipeline import _parse_pcg
+    assert _parse_pcg("TRUE") is True and _parse_pcg("false") is False
+    assert _parse_pcg("jacobi") == "jacobi"
+    with pytest.raises(ValueError, match="pcg"):
+        _parse_pcg("1")
+
+
 def test_head_block_requires_hybrid():
     rng = np.random.default_rng(9)
     rows = synth_rows(rng, 40)
