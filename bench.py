@@ -5,12 +5,19 @@ Measures steady-state ADMM iterations/second of the full jitted training step
 updates) on a synthetic sparse CTR-style workload, plus a convergence run
 (wall-clock to target held-out loglik), and prints ONE JSON line.
 
-Robustness: a SIGALRM watchdog (BENCH_DEADLINE seconds, default 240) prints
-the best measurement available so far and exits 0, so a slow remote compile on
-the tunneled chip can degrade the result but can never leave the driver with
-nothing to parse (round-1 failure mode: rc 124, parsed null). The repo ships a
-warm persistent compilation cache (.jax_cache/) for the default shapes; a
-cache hit cuts the heavy while-loop program's compile from ~16 s to ~5 s.
+Robustness: the dominant startup cost on the tunneled chip is NOT XLA compile
+(the shipped .jax_cache hits; jit_step re-materializes in ~0.15 s) but the
+tunnel's per-process device-acquisition stall: the first executed op of any
+process blocks for 1.5-7 minutes (measured 94/138/409 s on consecutive fresh
+processes). Two mitigations: (1) a tiny op is dispatched at startup — dispatch
+is async, so the stall runs in the background while datagen/tracing/compile
+proceed, and the measured `device_acquire_s` is reported in detail; (2) a
+two-stage watchdog thread — at BENCH_DEADLINE (default 240 s) it prints the
+best measurement so far (or a 0.0 diagnostic line) and KEEPS RUNNING; at
+BENCH_HARD_DEADLINE (default 540 s) it prints and exits 0. The driver can
+therefore always parse a line no matter when it kills the process (round-1
+failure mode: rc 124, parsed null), and a late-finishing run still emits the
+full result as the final line.
 
 Roofline accounting: the solver returns lock-step loop-trip counters
 (ops/tron_multi.py MultiTronResult.newton_trips/cg_trips); every CG trip costs
@@ -36,8 +43,8 @@ BENCH_DEADLINE.
 
 import json
 import os
-import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -58,13 +65,18 @@ DEFAULT_PEAKS = {"flops": 197e12, "hbm": 819e9}
 
 _RESULT: dict | None = None   # best-so-far JSON record (watchdog prints this)
 _PHASE = "startup"
+_WARMUP = None                # async-dispatched tiny op (device acquisition)
+_ACQUIRE_T0 = 0.0
+_ACQUIRE_S: float | None = None
+_HARD_DEADLINE = 540.0
+_T_START = time.monotonic()
 
 
 def _emit(result: dict) -> None:
     print(json.dumps(result), flush=True)
 
 
-def _watchdog(signum, frame):
+def _watchdog_emit():
     if _RESULT is not None:
         _emit(_RESULT)
     else:
@@ -72,8 +84,46 @@ def _watchdog(signum, frame):
                "unit": f"iter/s (DEADLINE hit during phase '{_PHASE}' — "
                        "no measurement completed)",
                "vs_baseline": 0.0,
-               "detail": {"phase": _PHASE}})
+               "detail": {"phase": _PHASE,
+                          "acquire_wait_s": round(
+                              time.monotonic() - _ACQUIRE_T0, 1)}})
+
+
+def _watchdog_thread(soft: float, hard: float):
+    """Two-stage deadline on a daemon THREAD (not SIGALRM: a Python signal
+    handler cannot run while the main thread is blocked inside the tunnel's
+    device fetch — the exact failure being guarded against; a thread prints
+    regardless because the blocked C++ call releases the GIL).
+
+    Stage 1 (BENCH_DEADLINE): print best-so-far (or a 0.0 diagnostic) and
+    keep working — if the driver kills the process later, stdout already
+    holds a parseable line; if the run finishes, the full result is the
+    final line. Stage 2 (BENCH_HARD_DEADLINE): print best-so-far and exit 0."""
+    time.sleep(max(soft - (time.monotonic() - _T_START), 0.0))
+    _watchdog_emit()
+    time.sleep(max(hard - (time.monotonic() - _T_START), 1.0))
+    _watchdog_emit()
     os._exit(0)
+
+
+def _start_device_acquire():
+    """Dispatch a tiny op so the tunnel's per-process first-execute stall
+    (minutes, measured) runs in the background while host-side setup
+    proceeds; `_finish_device_acquire` blocks on it and reports the cost."""
+    global _WARMUP, _ACQUIRE_T0
+    import jax.numpy as jnp
+    _ACQUIRE_T0 = time.monotonic()
+    _WARMUP = jnp.zeros((8,), jnp.float32) + 1.0
+
+
+def _finish_device_acquire() -> float:
+    global _ACQUIRE_S
+    if _ACQUIRE_S is None:
+        if _WARMUP is None:
+            return 0.0
+        np.asarray(_WARMUP)
+        _ACQUIRE_S = time.monotonic() - _ACQUIRE_T0
+    return _ACQUIRE_S
 
 
 def _chip_peaks():
@@ -239,6 +289,8 @@ def bench_item_models():
 
     cfg = ItemConfig(intercept_lambdas=[1.0], default_lambdas=[1.0, 10.0],
                      compute_var=True)
+    _PHASE = "device-acquire"
+    acquire_s = _finish_device_acquire()
     _PHASE = "item-train-cold"
     t0 = time.monotonic()
     result = train_item_models_columnar(decoded, cfg)
@@ -252,7 +304,8 @@ def bench_item_models():
         "value": round(n_models / cold_s, 1),
         "unit": unit + " [cold incl. compile]",
         "vs_baseline": round((n_models / cold_s) / (1000 / 30.0), 1),
-        "detail": {"cold_s": round(cold_s, 2), "models": n_models},
+        "detail": {"cold_s": round(cold_s, 2), "models": n_models,
+                   "device_acquire_s": round(acquire_s, 1)},
     }
     # steady-state: the compiled-program regime of a production run (many
     # item shards through one process)
@@ -397,6 +450,7 @@ def _run_convergence(trainer=None):
     trainer.loglik_fn = build_loglik_fn()
 
     _PHASE = "convergence-run"
+    _finish_device_acquire()
     t0 = time.monotonic()
     # fused on-device driver loop: one dispatch/fetch for the whole run
     # (semantics identical to the host loop — tests/test_admm.py)
@@ -490,9 +544,18 @@ def bench_admm():
     # platform, so device->host transfer is the only honest barrier.
     _PHASE = "compile"
     t0 = time.monotonic()
-    z, u, d, stats = step(z, u)
+    z, u, d, stats = step(z, u)       # trace + compile (host) + async dispatch
+    trace_compile_s = time.monotonic() - t0
+    # block on the startup warmup op first: it was dispatched before the heavy
+    # program, so this isolates the tunnel's device-acquisition stall from the
+    # heavy program's first execution
+    _PHASE = "device-acquire"
+    acquire_s = _finish_device_acquire()
+    _PHASE = "first-exec"
+    t0 = time.monotonic()
     np.asarray(d)
-    compile_time = time.monotonic() - t0  # includes the first (cold) solve
+    first_exec_s = time.monotonic() - t0  # first (cold, full-depth) solve
+    compile_time = trace_compile_s + first_exec_s
 
     # cold iteration (z=u=0, full-depth TRON solves)
     z = jnp.zeros((L, n), jnp.float32)
@@ -517,6 +580,7 @@ def bench_admm():
         "unit": unit + " [cold only]",
         "vs_baseline": round(30.0 / cold_iter, 1),
         "detail": {"compile_s": round(compile_time, 2),
+                   "device_acquire_s": round(acquire_s, 1),
                    "cold_iter_s": round(cold_iter, 3), "phase": "cold"},
     }
 
@@ -559,6 +623,9 @@ def bench_admm():
         "vs_baseline": round(iters_per_s * 30.0, 1),
         "detail": {
             "compile_s": round(compile_time, 2),
+            "device_acquire_s": round(acquire_s, 1),
+            "trace_compile_s": round(trace_compile_s, 2),
+            "first_exec_s": round(first_exec_s, 2),
             "cold_iter_s": round(cold_iter, 3),
             "steady_iter_s": round(steady_iter_s, 4),
             "head_size": cfg.head_size,
@@ -593,15 +660,19 @@ def main():
     if plat and "axon" not in plat:
         jax.config.update("jax_platforms", plat)
 
-    # watchdog: never leave the driver without a parseable line
+    # two-stage watchdog: never leave the driver without a parseable line
+    global _HARD_DEADLINE, _T_START
+    _T_START = time.monotonic()
     deadline = float(os.environ.get("BENCH_DEADLINE", 240))
-    if hasattr(signal, "SIGALRM") and deadline > 0:
-        signal.signal(signal.SIGALRM, _watchdog)
-        signal.alarm(int(deadline))
+    _HARD_DEADLINE = float(os.environ.get("BENCH_HARD_DEADLINE", 540))
+    if deadline > 0:
+        threading.Thread(target=_watchdog_thread,
+                         args=(deadline, _HARD_DEADLINE),
+                         daemon=True).start()
 
-    # persistent compilation cache: the heavy while-loop program compiles in
-    # ~16 s cold on the tunneled chip (with occasional multi-minute outliers —
-    # the round-1 failure); the repo ships a warm cache for the default shapes
+    # persistent compilation cache: the shipped .jax_cache hits for the
+    # default shapes (jit_step re-materializes in ~0.15 s); without it the
+    # heavy while-loop program compiles in ~16 s on the tunneled chip
     try:
         cache_dir = os.environ.get("MLEASE_JAX_CACHE",
                                    "/root/repo/.jax_cache")
@@ -611,6 +682,15 @@ def main():
         pass
 
     mode = os.environ.get("BENCH_MODE", "admm")
+    # start the tunnel's per-process device-acquisition stall NOW, in the
+    # background, so datagen + tracing + (cached) compile overlap it
+    # (skipped for ingest: it never executes on-device, and a pending op
+    # could stall process teardown)
+    if mode != "ingest":
+        try:
+            _start_device_acquire()
+        except Exception:
+            pass
     if mode == "item":
         return bench_item_models()
     if mode == "convergence":

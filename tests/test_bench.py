@@ -1,0 +1,74 @@
+"""bench.py smoke tests — the driver's only window into this framework's
+performance is ONE parseable JSON line on stdout (round-1 failure: rc 124,
+parsed null). These tests run the real bench script in a subprocess on the
+CPU backend with tiny shapes and assert the contract the driver relies on:
+rc 0, every stdout line is valid JSON, and the FINAL line carries a positive
+measurement with the metric/value/unit/vs_baseline fields.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+TINY = {
+    "JAX_PLATFORMS": "cpu",
+    "BENCH_FEATURES": "2000",
+    "BENCH_BLOCKS": "2",
+    "BENCH_ROWS": "512",
+    "BENCH_NNZ": "5",
+    "BENCH_LAMBDAS": "2",
+    "BENCH_ITERS": "2",
+    "BENCH_CONV_ITERS": "2",
+    "BENCH_HEAD": "32",
+}
+
+
+def _run_bench(tmp_path, extra_env, timeout=600):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # single-device CPU is fine for the smoke run
+    env["MLEASE_JAX_CACHE"] = str(tmp_path / "jax_cache")
+    env.update(TINY)
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, f"no stdout lines; stderr: {proc.stderr[-2000:]}"
+    parsed = [json.loads(ln) for ln in lines]  # every line must parse
+    for rec in parsed:
+        for field in ("metric", "value", "unit", "vs_baseline"):
+            assert field in rec, f"missing {field}: {rec}"
+    return parsed
+
+
+@pytest.mark.slow
+def test_bench_admm_emits_final_json(tmp_path):
+    """Default mode end-to-end on CPU: the final line is the full steady-state
+    measurement (positive iter/s) with convergence folded into detail."""
+    parsed = _run_bench(tmp_path, {"BENCH_DEADLINE": "0"})
+    final = parsed[-1]
+    assert final["metric"] == "admm_iterations_per_s"
+    assert final["value"] > 0
+    assert final["detail"]["convergence"]["best_loglik"] < 0
+    assert "device_acquire_s" in final["detail"]
+
+
+@pytest.mark.slow
+def test_bench_watchdog_two_stage(tmp_path):
+    """With an immediate soft deadline the stage-1 watchdog must print a
+    parseable line and KEEP RUNNING to the full result: the last line must
+    still be a positive measurement (last-line-wins driver parsing), and the
+    earlier watchdog line must also have been parseable (asserted in
+    _run_bench for every line)."""
+    parsed = _run_bench(tmp_path, {
+        "BENCH_DEADLINE": "1", "BENCH_HARD_DEADLINE": "590",
+        "BENCH_SKIP_CONV": "1"})
+    assert len(parsed) >= 2, "stage-1 watchdog line + final line expected"
+    assert parsed[-1]["value"] > 0
