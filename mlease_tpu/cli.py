@@ -441,6 +441,15 @@ def main(argv=None):
     if plat and "axon" not in plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # dispatch a tiny op NOW (async): the tunneled TPU charges each process a
+    # minutes-scale device-acquisition stall on its first executed op; issued
+    # here it overlaps ingest/prepare/pack instead of serializing after them
+    # (same mitigation as bench.py — measured 94-409 s on fresh processes)
+    try:
+        import jax.numpy as _jnp
+        _jnp.zeros((8,), _jnp.float32) + 1.0
+    except Exception:
+        pass
     p = argparse.ArgumentParser(prog="mlease_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     # "predict" = working alias of "test" (the reference CLI declares

@@ -196,7 +196,8 @@ def pack_blocks(block_rows: Sequence[Sequence[Mapping]], vocab, *,
 
 
 def to_hybrid(data: BlockedData, head_size: int, *,
-              nnz_multiple: int = 8) -> BlockedData:
+              nnz_multiple: int = 8,
+              column_sorted: bool = True) -> BlockedData:
     """Split a packed dataset into dense-head + sparse-tail hybrid layout.
 
     head_ids = the `head_size` most frequent columns across all blocks
@@ -204,6 +205,12 @@ def to_hybrid(data: BlockedData, head_size: int, *,
     so it always lands in the head). Nonzeros on head columns move into the
     dense (B, R, H) matrix; the ELL arrays are repacked with only the tail,
     whose per-row width shrinks accordingly.
+
+    column_sorted=False skips building the column-sorted tail copy (the
+    tail_c_* arrays are left None): the streaming trainer derives it ON
+    DEVICE per transfer (a stable argsort is a pure function of tail_cols),
+    which removes both the host-side sort at pack time and ~43% of the
+    per-iteration tail wire traffic.
     """
     B, R, K = data.indices.shape
     H = min(head_size, data.dim)
@@ -243,14 +250,16 @@ def to_hybrid(data: BlockedData, head_size: int, *,
 
     # column-sorted copy of the tail; padding (val 0, col 0) sorts to the
     # front and contributes nothing to segment 0
-    tc_rows = np.zeros_like(tail_rows)
-    tc_cols = np.zeros_like(tail_cols)
-    tc_vals = np.zeros_like(tail_vals)
-    for b in range(B):
-        ordc = np.argsort(tail_cols[b], kind="stable")
-        tc_rows[b] = tail_rows[b][ordc]
-        tc_cols[b] = tail_cols[b][ordc]
-        tc_vals[b] = tail_vals[b][ordc]
+    tc_rows = tc_cols = tc_vals = None
+    if column_sorted:
+        tc_rows = np.zeros_like(tail_rows)
+        tc_cols = np.zeros_like(tail_cols)
+        tc_vals = np.zeros_like(tail_vals)
+        for b in range(B):
+            ordc = np.argsort(tail_cols[b], kind="stable")
+            tc_rows[b] = tail_rows[b][ordc]
+            tc_cols[b] = tail_cols[b][ordc]
+            tc_vals[b] = tail_vals[b][ordc]
 
     empty = np.zeros((B, R, 0))
     return data._replace(indices=empty.astype(np.int32),

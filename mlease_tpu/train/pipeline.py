@@ -95,6 +95,12 @@ def admm_config_from_job(config: JobConfig, dtype=None) -> AdmmConfig:
         relaxation=config.get_float("relaxation", 1.0),
         reference_l1_compat=config.get_boolean("reference.l1.compat", True),
         head_size=config.get_int("head.size", 0),
+        # head.dtype=bfloat16: store (and, in streaming mode, transfer) the
+        # dense head at half width; accumulation stays in the compute dtype
+        head_dtype={"": None, "float32": jnp.float32,
+                    "bfloat16": jnp.bfloat16,
+                    "float64": jnp.float64}[
+                        config.get_string("head.dtype", "")],
         dual_layout=config.get_boolean("dual.layout", False),
         multi_rhs=config.get_boolean("multi.rhs", True),
         pcg=_parse_pcg(config.get_string("pcg", "true")),

@@ -46,6 +46,21 @@ from mlease_tpu.train.admm import AdmmConfig, AdmmResult, _lambda_key
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _sort_tail_by_column(rows, cols, vals):
+    """Column-sorted copy of a (B, T) COO tail, computed ON DEVICE.
+
+    A stable argsort of tail_cols produces the bit-identical permutation the
+    host pack (core/dataset.to_hybrid) would have produced, so downstream
+    segment-sums see the exact same summation order — but the three sorted
+    arrays never cross the host->device wire. Per block: one (T,) sort (~ms)
+    vs ~12 bytes/nonzero of tunnel/PCIe traffic per iteration."""
+    def one(r, c, v):
+        order = jnp.argsort(c, stable=True)
+        return r[order], c[order], v[order]
+    return jax.vmap(one)(rows, cols, vals)
+
+
 def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                        use_head: bool = False, multi_rhs: bool = False,
                        pcg: bool = False, flat_blocks: bool = False):
@@ -153,8 +168,31 @@ class StreamingAdmmTrainer:
                 "per-iteration PCIe transfer; use the HBM-resident trainer")
         if config.head_size > 0:
             from mlease_tpu.core.dataset import to_hybrid
-            groups = [to_hybrid(g, config.head_size) if g.head is None else g
+            # column_sorted=False: the sorted-tail copy is derived ON DEVICE
+            # after each transfer (_put_group) — a stable argsort of the same
+            # input yields the bit-identical permutation, so results match
+            # the host-sorted path exactly while the wire ships 3 fewer tail
+            # arrays per group per iteration
+            groups = [to_hybrid(g, config.head_size, column_sorted=False)
+                      if g.head is None else g
                       for g in groups]
+        # one-time wire-format normalization: value arrays convert to the
+        # compute dtype (and the dense head to head_dtype — e.g. bfloat16
+        # halves the head's wire bytes, by far the largest transfer) ONCE
+        # here instead of per transfer per iteration; _put_group ships
+        # arrays exactly as stored
+        def _conv(a, t):
+            if a is None:
+                return None
+            return a if a.dtype == t else np.asarray(a, t)
+
+        dt, hdt = config.dtype, (config.head_dtype or config.dtype)
+        groups = [g._replace(
+            values=_conv(g.values, dt),
+            y=_conv(g.y, dt), weight=_conv(g.weight, dt),
+            offset=_conv(g.offset, dt), head=_conv(g.head, hdt),
+            tail_vals=_conv(g.tail_vals, dt),
+            tail_c_vals=_conv(g.tail_c_vals, dt)) for g in groups]
         # consensus divisor = real blocks only (padding masked below)
         self.nblocks = sum(g.nblocks for g in groups)
         self.real_nblocks = [g.nblocks for g in groups]
@@ -220,28 +258,40 @@ class StreamingAdmmTrainer:
     def _put_group(self, gi: int, dtype):
         """Issue the host->device transfers for group gi (async: jax device
         puts return immediately; the copies overlap the in-flight solve).
-        Under a mesh, arrays shard over the block axis; head_ids replicate."""
+        Under a mesh, arrays shard over the block axis; head_ids replicate.
+
+        All float arrays ship exactly as stored (one-time dtype conversion
+        in __init__ — with head_dtype=bfloat16 the dense head, the largest
+        transfer, ships at half width). The column-sorted tail copy is NOT
+        transferred when absent: it is derived on device by a stable argsort
+        of tail_cols (bit-identical permutation to the host sort, so sums
+        match the host-sorted layout exactly) — 3 fewer (B, T) arrays on the
+        wire per group per iteration."""
         g = self.groups[gi]
         if self.mesh is not None:
             from mlease_tpu.parallel.mesh import block_sharding, replicated
             bsh = block_sharding(self.mesh, 0)
             rep = replicated(self.mesh)
-            put_b = lambda a, dt=None: jax.device_put(  # noqa: E731
-                np.asarray(a, dt) if dt else np.asarray(a), bsh)
+            put_b = lambda a: jax.device_put(np.asarray(a), bsh)  # noqa: E731
             put_r = lambda a: jax.device_put(np.asarray(a), rep)  # noqa: E731
         else:
-            put_b = lambda a, dt=None: jnp.asarray(a, dt)  # noqa: E731
+            put_b = jnp.asarray
             put_r = jnp.asarray
         head = (None,) * 8
         if self.use_head:
-            head = (put_b(g.head, dtype), put_r(g.head_ids),
-                    put_b(g.tail_rows), put_b(g.tail_cols),
-                    put_b(g.tail_vals, dtype),
-                    put_b(g.tail_c_rows), put_b(g.tail_c_cols),
-                    put_b(g.tail_c_vals, dtype))
-        return (put_b(g.indices), put_b(g.values, dtype),
-                put_b(g.y, dtype), put_b(g.weight, dtype),
-                put_b(g.offset, dtype), head, put_b(g.present))
+            t_rows, t_cols = put_b(g.tail_rows), put_b(g.tail_cols)
+            t_vals = put_b(g.tail_vals)
+            if g.tail_c_rows is None:
+                tc_rows, tc_cols, tc_vals = _sort_tail_by_column(
+                    t_rows, t_cols, t_vals)
+            else:
+                tc_rows, tc_cols = put_b(g.tail_c_rows), put_b(g.tail_c_cols)
+                tc_vals = put_b(g.tail_c_vals)
+            head = (put_b(g.head), put_r(g.head_ids),
+                    t_rows, t_cols, t_vals, tc_rows, tc_cols, tc_vals)
+        return (put_b(g.indices), put_b(g.values),
+                put_b(g.y), put_b(g.weight),
+                put_b(g.offset), head, put_b(g.present))
 
     def run(self, z0: np.ndarray | None = None) -> AdmmResult:
         cfg = self.config
