@@ -259,9 +259,14 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         from mlease_tpu.core.dataset import split_blocks
         from mlease_tpu.train.streaming import StreamingAdmmTrainer
 
+        rh = config.get_string("streaming.resident.head", "auto")
         s_trainer = StreamingAdmmTrainer(
             split_blocks(data, streaming_groups), vocab, cfg,
-            test_rows=test_rows, mesh=mesh)
+            test_rows=test_rows, mesh=mesh,
+            resident_head={"auto": "auto", "true": True,
+                           "false": False}[rh],
+            resident_head_budget_gb=config.get_float(
+                "streaming.resident.head.gb", 8.0))
         with_trace = config.get_string("profile.dir", "")
         from mlease_tpu.utils.profiling import trace
         with trace(with_trace):
