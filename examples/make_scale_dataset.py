@@ -118,6 +118,11 @@ output.base.path = {out_dir}
 num.blocks = 16
 streaming.groups = 8
 head.size = 128
+# resident-head mode (default auto): the dense head is pinned in HBM once;
+# only tails stream per iteration. head.dtype=bfloat16 additionally halves
+# the head's device memory / wire bytes (accumulation stays f32).
+# streaming.resident.head = auto
+# head.dtype = bfloat16
 lambda = 1,10,100
 num.iters = 10
 regularizer = 2

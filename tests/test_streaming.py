@@ -180,3 +180,48 @@ def test_streaming_double_buffer_order():
     first_iter = events[:6]
     assert first_iter == [("put", 0), ("solve", 0), ("put", 1),
                           ("solve", 1), ("put", 2), ("solve", 2)]
+
+
+def test_streaming_resident_head_parity_and_budget():
+    """resident-head mode must be bit-equivalent to streaming the head, and
+    the auto budget must fall back to streaming when the heads don't fit."""
+    rng = np.random.default_rng(7)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True, pcg=True)
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+
+    t_res = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=True)
+    assert t_res._resident_heads is not None
+    t_stream = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False)
+    assert t_stream._resident_heads is None
+    np.testing.assert_array_equal(np.asarray(t_res.run().z),
+                                  np.asarray(t_stream.run().z))
+
+    # auto with a zero budget: heads never fit -> streamed
+    t_auto = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
+                                  resident_head_budget_gb=0.0)
+    assert t_auto._resident_heads is None
+
+
+def test_streaming_device_sorted_tail_matches_host_sort():
+    """_sort_tail_by_column must reproduce the host pack's stable column
+    sort bit-for-bit (same permutation, same summation order downstream)."""
+    from mlease_tpu.core.dataset import to_hybrid
+    from mlease_tpu.train.streaming import _sort_tail_by_column
+
+    rng = np.random.default_rng(8)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::2] for i in range(2)], vocab)
+    host = to_hybrid(data, 4, column_sorted=True)
+    dev = to_hybrid(data, 4, column_sorted=False)
+    assert dev.tail_c_rows is None
+    r, c, v = _sort_tail_by_column(jnp.asarray(dev.tail_rows),
+                                   jnp.asarray(dev.tail_cols),
+                                   jnp.asarray(dev.tail_vals))
+    np.testing.assert_array_equal(np.asarray(r), host.tail_c_rows)
+    np.testing.assert_array_equal(np.asarray(c), host.tail_c_cols)
+    np.testing.assert_array_equal(np.asarray(v), host.tail_c_vals)
