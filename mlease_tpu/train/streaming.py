@@ -373,7 +373,7 @@ class StreamingAdmmTrainer:
 
             xsum = np.zeros((L, n))
             usum = np.zeros((L, n))
-            x_groups = []
+            x_devs = []
             pending = self._put_group(0, dtype)     # prefetch first group
             for gi, (u_g, scale) in enumerate(zip(u_groups,
                                                   self.eps_scales)):
@@ -388,11 +388,20 @@ class StreamingAdmmTrainer:
                                     present, z_dev, u_dev, rho_eff,
                                     jnp.asarray(inner_eps * scale, dtype))
                 # double buffering: issue the next group's transfer while the
-                # current solve runs; then sync on the previous solve
+                # current solve runs, and start this group's x copying back
+                # asynchronously — the host syncs ONCE after the last group,
+                # so neither the next transfer nor the next solve ever waits
+                # on a device->host round trip (the x results are tiny
+                # relative to the group data: (L, B_g, n) per group)
                 if gi + 1 < len(self.groups):
                     pending = self._put_group(gi + 1, dtype)
-                x = np.asarray(x_dev, np.float64)
-                x_groups.append(x)
+                try:
+                    x_dev.copy_to_host_async()
+                except Exception:
+                    pass
+                x_devs.append(x_dev)
+            x_groups = [np.asarray(xd, np.float64) for xd in x_devs]
+            for gi, (x, u_g) in enumerate(zip(x_groups, u_groups)):
                 real = self.real_nblocks[gi]    # mesh padding is a suffix
                 xsum += x[:, :real].sum(axis=1)
                 usum += u_g[:, :real].sum(axis=1)
