@@ -225,3 +225,20 @@ def test_streaming_device_sorted_tail_matches_host_sort():
     np.testing.assert_array_equal(np.asarray(r), host.tail_c_rows)
     np.testing.assert_array_equal(np.asarray(c), host.tail_c_cols)
     np.testing.assert_array_equal(np.asarray(v), host.tail_c_vals)
+
+
+def test_streaming_resident_head_reuses_device_reference():
+    """_put_group must hand back the SAME pinned device arrays every
+    iteration in resident mode (no re-transfer of the dense head)."""
+    rng = np.random.default_rng(9)
+    rows = synth_rows(rng, 200)
+    vocab = build_vocab(rows)
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=1, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True)
+    t = StreamingAdmmTrainer(
+        [pack_blocks([rows[:100]], vocab), pack_blocks([rows[100:]], vocab)],
+        vocab, cfg, resident_head=True)
+    for gi in range(2):
+        head = t._put_group(gi, jnp.float64)[5]
+        assert head[0] is t._resident_heads[gi][0]   # head_x
+        assert head[1] is t._resident_heads[gi][1]   # head_ids
