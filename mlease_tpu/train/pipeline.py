@@ -393,6 +393,26 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         if (config.get_boolean("fused.loop", False)
                 and "start_iteration" not in run_kwargs
                 and not write_train_output):
+            # rough device-bytes estimate: data arrays + the fused loop's
+            # carried state ((L, B, n) u + multi-RHS solver workspace). A
+            # monolithic fused run at 10M rows x 1M features crashed the
+            # TPU worker (HBM wall) where the same data trained fine in
+            # streaming mode — warn rather than fault the shared worker.
+            L = len(cfg.lambdas)
+            est = sum(int(getattr(data, f).nbytes)
+                      for f in ("indices", "values", "head", "tail_rows",
+                                "tail_cols", "tail_vals", "tail_c_rows",
+                                "tail_c_cols", "tail_c_vals")
+                      if getattr(data, f, None) is not None)
+            est += 12 * 4 * L * (data.nblocks + 1) * data.dim  # u/z/solver ws
+            budget = config.get_float("fused.device.budget.gb", 10.0)
+            if est > budget * (1 << 30):
+                logger.warning(
+                    "fused.loop at ~%.1f GB estimated device footprint "
+                    "(budget %.1f GB): a monolithic fused run this large "
+                    "can crash the TPU worker — prefer streaming.groups=N "
+                    "(resident-head mode keeps the hot columns in HBM) or "
+                    "fused.loop=false", est / (1 << 30), budget)
             every = config.get_int("checkpoint.every", 0) or None
 
             def on_chunk(iteration, z, u, diffs, inner_eps, logliks=None):
