@@ -51,6 +51,21 @@ from mlease_tpu.train.admm import AdmmConfig, AdmmResult, _lambda_key
 logger = logging.getLogger(__name__)
 
 
+def _group_stream_bytes(g) -> int:
+    """Device bytes a fully-resident group pins: every per-iteration data
+    transfer plus the on-device column-sorted tail copy (same size as the
+    tail triplet)."""
+    total = 0
+    for f in ("indices", "values", "y", "weight", "offset", "present"):
+        a = getattr(g, f, None)
+        if a is not None:
+            total += int(a.nbytes)
+    tail = sum(int(getattr(g, f).nbytes)
+               for f in ("tail_rows", "tail_cols", "tail_vals")
+               if getattr(g, f, None) is not None)
+    return total + 2 * tail   # tail triplet + derived sorted copy
+
+
 @jax.jit
 def _sort_tail_by_column(rows, cols, vals):
     """Column-sorted copy of a (B, T) COO tail, computed ON DEVICE.
@@ -222,24 +237,43 @@ class StreamingAdmmTrainer:
         self.lambdas = [float(l) for l in config.lambdas]
         self.rhos = config.resolved_rhos()
         self.use_head = self.groups[0].head is not None
-        # resident-head mode: the dense head is the largest per-iteration
-        # transfer (e.g. 5.1 GB/iter of 6.5 GB at 10M rows x head 128) and
-        # is IDENTICAL every iteration — when all groups' heads fit the
-        # budget, put them on device ONCE and stream only the tails.
-        # "auto" enables it when total head bytes fit resident_head_budget_gb
-        # (leave headroom for the solve workspace + double-buffered tails).
+        # Tiered residency: all of a group's data arrays are invariant
+        # across iterations, so every byte pinned in HBM is a byte the wire
+        # never pays again. Budgeted greedy ladder (resident_head_budget_gb,
+        # headroom left for solver workspace + streamed double-buffers):
+        #   tier 1 — every group's dense head (the dominant transfer:
+        #            4.8 GB of ~6.5 GB/iter at 10M rows x head 128);
+        #   tier 2 — whole groups (tails + derived column-sorted copy +
+        #            y/weight/offset/present/ELL), in order, while they fit.
+        # A fully-resident group's per-iteration wire is just u up / x down.
+        # Groups past the budget stream exactly as before — the ladder
+        # degrades gracefully from "in-memory residency with group-shaped
+        # programs" down to full streaming as data outgrows HBM.
         self._resident_heads: list | None = None
+        self._resident_groups: dict[int, tuple] = {}
         if self.use_head and resident_head in ("auto", True):
+            budget = (float("inf") if resident_head is True
+                      else resident_head_budget_gb * (1 << 30))
             head_bytes = sum(g.head.nbytes for g in self.groups)
-            if resident_head is True or (
-                    head_bytes <= resident_head_budget_gb * (1 << 30)):
+            if head_bytes <= budget:
                 self._resident_heads = [
                     (self._put_b(g.head), self._put_r(g.head_ids))
                     for g in self.groups]
-                logger.info("resident-head mode: %.2f GB of dense head "
-                            "pinned in device memory (%d groups); only "
-                            "tails stream per iteration",
-                            head_bytes / (1 << 30), len(self.groups))
+                budget -= head_bytes
+                pinned = head_bytes
+                for gi, g in enumerate(self.groups):
+                    gb = _group_stream_bytes(g)
+                    if gb > budget:
+                        break
+                    self._resident_groups[gi] = self._pin_group(gi)
+                    budget -= gb
+                    pinned += gb
+                logger.info(
+                    "resident mode: %.2f GB pinned in device memory "
+                    "(all %d heads + %d/%d full groups); resident groups "
+                    "ship only u/x per iteration, the rest stream",
+                    pinned / (1 << 30), len(self.groups),
+                    len(self._resident_groups), len(self.groups))
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
             use_head=self.use_head,
@@ -291,7 +325,10 @@ class StreamingAdmmTrainer:
         transferred when absent: it is derived on device by a stable argsort
         of tail_cols (bit-identical permutation to the host sort, so sums
         match the host-sorted layout exactly) — 3 fewer (B, T) arrays on the
-        wire per group per iteration."""
+        wire per group per iteration. Fully-resident groups (tiered
+        residency, __init__) return their pinned device tuple outright."""
+        if gi in self._resident_groups:
+            return self._resident_groups[gi]
         g = self.groups[gi]
         put_b, put_r = self._put_b, self._put_r
         head = (None,) * 8
@@ -313,6 +350,11 @@ class StreamingAdmmTrainer:
         return (put_b(g.indices), put_b(g.values),
                 put_b(g.y), put_b(g.weight),
                 put_b(g.offset), head, put_b(g.present))
+
+    def _pin_group(self, gi: int):
+        """Transfer group gi once and keep the device tuple (tier-2
+        residency). The derived column-sorted tail stays resident too."""
+        return self._put_group(gi, self.config.dtype)
 
     def _put_b(self, a):
         """Host->device put of a block-leading array (sharded under a mesh)."""

@@ -242,3 +242,31 @@ def test_streaming_resident_head_reuses_device_reference():
         head = t._put_group(gi, jnp.float64)[5]
         assert head[0] is t._resident_heads[gi][0]   # head_x
         assert head[1] is t._resident_heads[gi][1]   # head_ids
+
+
+def test_streaming_tiered_residency_budget_ladder():
+    """Budget ladder: heads fit but full groups don't -> tier 1 only;
+    infinite budget (resident_head=True) -> every group fully pinned and
+    _put_group returns the identical pinned tuple."""
+    rng = np.random.default_rng(10)
+    rows = synth_rows(rng, 240)
+    vocab = build_vocab(rows)
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=2, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True)
+    groups = [pack_blocks([rows[:120]], vocab), pack_blocks([rows[120:]], vocab)]
+
+    from mlease_tpu.train.streaming import _group_stream_bytes
+    head_gb = sum(g.head is not None and g.head.nbytes
+                  for g in StreamingAdmmTrainer(groups, vocab, cfg,
+                                                resident_head=False).groups)
+    # budget just above the heads, below heads + first group
+    tight = (head_gb + 1) / (1 << 30)
+    t1 = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
+                              resident_head_budget_gb=tight)
+    assert t1._resident_heads is not None and not t1._resident_groups
+
+    t2 = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=True)
+    assert set(t2._resident_groups) == {0, 1}
+    assert t2._put_group(1, jnp.float64) is t2._resident_groups[1]
+    np.testing.assert_array_equal(np.asarray(t2.run().z),
+                                  np.asarray(t1.run().z))
