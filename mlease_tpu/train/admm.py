@@ -130,6 +130,14 @@ class AdmmResult:
     # (cost-model inputs for roofline accounting; see build_admm_step)
 
 
+def _EPS_DTYPE():
+    """float64 when x64 is enabled, float32 otherwise — the convergence
+    epsilons are host-scalar bookkeeping, and requesting f64 outright
+    trips a noisy truncation warning on default (x64-off) configs."""
+    import jax.dtypes
+    return jax.dtypes.canonicalize_dtype(jnp.float64)
+
+
 def _lambda_key(lam: float) -> str:
     """Reference model keys are Java Float.toString of the (float) lambda
     ("1.0", "0.5", "1.0E-4", "1.2345678E7"): plain decimal for
@@ -577,7 +585,7 @@ class AdmmTrainer:
                 z, u, diffs, stats = step_raw(
                     indices, values, y, weight, offset, csc, head, present,
                     block_valid, z, u, lam_vec, rho_eff, rho_b, eps)
-                mindiff = jnp.min(diffs).astype(jnp.float64)
+                mindiff = jnp.min(diffs).astype(_EPS_DTYPE())
                 maxdiff = jnp.max(diffs)
                 diffs_h = diffs_h.at[it].set(diffs)
                 nt_tot += jnp.max(stats["newton_trips"])
@@ -616,8 +624,8 @@ class AdmmTrainer:
         chunk = (max_it if checkpoint_every is None
                  else max(int(checkpoint_every), 1))
         state = (z, u,
-                 jnp.asarray(cfg.liblinear_epsilon, jnp.float64),
-                 jnp.asarray(99999999.0, jnp.float64),
+                 jnp.asarray(cfg.liblinear_epsilon, _EPS_DTYPE()),
+                 jnp.asarray(99999999.0, _EPS_DTYPE()),
                  jnp.asarray(1, jnp.int32), jnp.asarray(False),
                  jnp.asarray(chunk, jnp.int32),
                  jnp.full((max_it + 1, L), jnp.nan, dtype),
