@@ -37,8 +37,10 @@ of scheduling+shuffle+IO alone, so vs_baseline = iterations_per_s * 30.0
 (i.e. how many times faster than one 30-second MapReduce round per iteration).
 
 Scale knobs via env: BENCH_FEATURES, BENCH_BLOCKS, BENCH_ROWS (per block),
-BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS, BENCH_MODE (admm|item|convergence|ingest),
-BENCH_DEADLINE.
+BENCH_NNZ, BENCH_LAMBDAS, BENCH_ITERS, BENCH_DEADLINE,
+BENCH_MODE (admm|item|convergence|ingest|streaming — streaming also reads
+BENCH_GROUPS and BENCH_STREAM_BUDGET_GB, default 'heads' = pin only the
+dense heads and stream the tails).
 """
 
 import json
@@ -650,6 +652,106 @@ def bench_admm():
     _emit(_RESULT)
 
 
+def bench_streaming():
+    """BENCH_MODE=streaming: iterations/s of the >HBM streaming trainer —
+    host-resident groups streamed to the device every iteration with
+    double-buffered prefetch (train/streaming.py; reference scale story:
+    RegressionAdmmTrain streams each block from HDFS per reducer per
+    iteration).
+
+    Residency default is 'heads': the dense heads (invariant, the dominant
+    wire bytes) pin in HBM and only tails + consensus state stream — the
+    production resident-head configuration. BENCH_STREAM_BUDGET_GB=0 forces
+    the full-wire path; a large value measures tiered (fully-pinned)
+    residency instead.
+    """
+    global _RESULT, _PHASE
+    import jax
+    import jax.numpy as jnp
+
+    from mlease_tpu.train.admm import AdmmConfig
+    from mlease_tpu.train.streaming import StreamingAdmmTrainer
+
+    n_features = int(os.environ.get("BENCH_FEATURES", 200_000))
+    n_groups = int(os.environ.get("BENCH_GROUPS", 4))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", 2))    # per group
+    rows = int(os.environ.get("BENCH_ROWS", 32_768))    # per block
+    nnz = int(os.environ.get("BENCH_NNZ", 15))
+    n_lambdas = int(os.environ.get("BENCH_LAMBDAS", 3))
+    iters = int(os.environ.get("BENCH_ITERS", 6))
+    head = int(os.environ.get("BENCH_HEAD", "512"))
+
+    _PHASE = "datagen"
+    gs = [synth_blocked_data(n_features, nblocks, rows, nnz, seed=g)[0]
+          for g in range(n_groups)]
+    vocab = _make_vocab(n_features)
+    lambdas = [float(v) for v in np.logspace(0, 2, n_lambdas)]
+    cfg = AdmmConfig(lambdas=lambdas, num_iters=iters, regularizer=2,
+                     head_size=head, dtype=jnp.float32, multi_rhs=True)
+
+    budget_env = os.environ.get("BENCH_STREAM_BUDGET_GB", "heads")
+    if budget_env == "heads":
+        # just enough for every group's dense head (f32) and no full group:
+        # the tiered ladder pins heads first, then full groups while budget
+        # lasts — 2% headroom is far below any group's tail bytes
+        head_bytes = n_groups * nblocks * rows * head * 4
+        budget_gb = head_bytes * 1.02 / (1 << 30)
+        resident = "auto"
+    else:
+        budget_gb = float(budget_env)
+        resident = "auto" if budget_gb > 0 else False
+    trainer = StreamingAdmmTrainer(gs, vocab, cfg, resident_head=resident,
+                                   resident_head_budget_gb=budget_gb)
+
+    # host->device bytes actually wired per iteration: row arrays + the
+    # row-sorted tail triplet (the column-sorted copy is derived on device);
+    # pinned heads/groups never re-ship
+    def _wire(gi, g):
+        if gi in trainer._resident_groups:
+            return 0
+        b = sum(int(getattr(g, f).nbytes)
+                for f in ("indices", "values", "y", "weight", "offset",
+                          "present", "tail_rows", "tail_cols", "tail_vals")
+                if getattr(g, f, None) is not None)
+        if trainer._resident_heads is None and g.head is not None:
+            b += int(g.head.nbytes)
+        return b
+
+    wire_bytes = sum(_wire(gi, g) for gi, g in enumerate(trainer.groups))
+
+    _PHASE = "streaming-run"
+    acquire_s = _finish_device_acquire()
+    t0 = time.monotonic()
+    res = trainer.run()
+    wall = time.monotonic() - t0
+
+    steady = (float(np.median(res.iter_times[1:])) if len(res.iter_times) > 1
+              else res.iter_times[0])
+    total_rows = n_groups * nblocks * rows
+    _RESULT = {
+        "metric": "streaming_admm_iterations_per_s",
+        "value": round(1.0 / steady, 4),
+        "unit": (f"iter/s ({n_lambdas}-lambda path, {total_rows} rows x "
+                 f"{n_features} features streamed as {n_groups} groups, "
+                 f"{jax.devices()[0].platform})"),
+        "vs_baseline": round(30.0 / steady, 1),
+        "detail": {
+            "steady_iter_s": round(steady, 4),
+            "cold_iter_s": round(res.iter_times[0], 3),
+            "iter_times_s": [round(t, 3) for t in res.iter_times],
+            "total_wall_s": round(wall, 2),
+            "device_acquire_s": round(acquire_s, 1),
+            "residency": resident if budget_gb else "none",
+            "budget_gb": round(budget_gb, 4),
+            "streamed_mb_per_iter": round(wire_bytes / (1 << 20), 1),
+            "maxdiff_last": (res.diff_history[-1]
+                             if res.diff_history else None),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    _emit(_RESULT)
+
+
 def main():
     global _PHASE
     import jax
@@ -697,6 +799,8 @@ def main():
         return bench_convergence()
     if mode == "ingest":
         return bench_ingest()
+    if mode == "streaming":
+        return bench_streaming()
     return bench_admm()
 
 

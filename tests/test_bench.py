@@ -61,6 +61,21 @@ def test_bench_admm_emits_final_json(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_streaming_emits_final_json(tmp_path):
+    """BENCH_MODE=streaming on CPU: positive iter/s, heads-resident default,
+    and a nonzero streamed-bytes accounting (tails still wire per
+    iteration)."""
+    parsed = _run_bench(tmp_path, {"BENCH_MODE": "streaming",
+                                   "BENCH_GROUPS": "2",
+                                   "BENCH_DEADLINE": "0"})
+    final = parsed[-1]
+    assert final["metric"] == "streaming_admm_iterations_per_s"
+    assert final["value"] > 0
+    assert final["detail"]["streamed_mb_per_iter"] > 0
+    assert final["detail"]["residency"] == "auto"
+
+
+@pytest.mark.slow
 def test_bench_watchdog_two_stage(tmp_path):
     """With an immediate soft deadline the stage-1 watchdog must print a
     parseable line and KEEP RUNNING to the full result: the last line must
