@@ -81,6 +81,26 @@ def _sort_tail_by_column(rows, cols, vals):
     return jax.vmap(one)(rows, cols, vals)
 
 
+@partial(jax.jit, static_argnames=("regularizer", "nblocks",
+                                   "intercept_index", "penalize_intercept",
+                                   "reference_compat"))
+def _z_update_all(v, lam_vec, rhos, *, regularizer, nblocks, intercept_index,
+                  penalize_intercept, reference_compat):
+    """All lambda lanes' consensus z-updates in ONE dispatch.
+
+    The per-lane math is exactly admm_math.z_update_l{1,2}; batching the L
+    lanes avoids L sequential dispatch+fetch round trips per iteration in
+    the streaming host loop (each a full tunnel/PCIe round trip)."""
+    def one(v_i, lam_i, rho_i):
+        if regularizer == 2:
+            return admm_math.z_update_l2(v_i, lam_i, rho_i, nblocks,
+                                         intercept_index, penalize_intercept)
+        return admm_math.z_update_l1(v_i, lam_i, rho_i, nblocks,
+                                     intercept_index, penalize_intercept,
+                                     reference_compat=reference_compat)
+    return jax.vmap(one)(v, lam_vec, rhos)
+
+
 def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                        use_head: bool = False, multi_rhs: bool = False,
                        pcg: bool = False, flat_blocks: bool = False):
@@ -449,23 +469,16 @@ class StreamingAdmmTrainer:
                 usum += u_g[:, :real].sum(axis=1)
 
             v = (xsum + usum) / N
-            z_new = np.empty_like(z)
-            for i, lam in enumerate(self.lambdas):
-                v_i = jnp.asarray(v[i])
-                lam_i = jnp.asarray(self.lam_vec[i])
-                # consensus shrinkage uses the BASE rho; adaptation only
-                # shapes the x-subproblem (RegressionAdmmTrain.java:368-380
-                # vs :648-658)
-                if cfg.regularizer == 2:
-                    z_i = admm_math.z_update_l2(
-                        v_i, lam_i, self.rhos[i], N,
-                        self.vocab.intercept_index, cfg.penalize_intercept)
-                else:
-                    z_i = admm_math.z_update_l1(
-                        v_i, lam_i, self.rhos[i], N,
-                        self.vocab.intercept_index, cfg.penalize_intercept,
-                        reference_compat=cfg.reference_l1_compat)
-                z_new[i] = np.asarray(z_i)
+            # consensus shrinkage uses the BASE rho; adaptation only shapes
+            # the x-subproblem (RegressionAdmmTrain.java:368-380 vs :648-658)
+            v_dev = jnp.asarray(v)
+            z_new = np.asarray(_z_update_all(
+                v_dev, jnp.asarray(self.lam_vec),
+                jnp.asarray(self.rhos, v_dev.dtype),
+                regularizer=cfg.regularizer, nblocks=N,
+                intercept_index=self.vocab.intercept_index,
+                penalize_intercept=cfg.penalize_intercept,
+                reference_compat=cfg.reference_l1_compat), z.dtype)
 
             for x, u_g in zip(x_groups, u_groups):
                 u_g += x - z_new[:, None, :]
