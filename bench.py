@@ -693,7 +693,10 @@ def bench_streaming():
     if budget_env == "heads":
         # just enough for every group's dense head (f32) and no full group:
         # the tiered ladder pins heads first, then full groups while budget
-        # lasts — 2% headroom is far below any group's tail bytes
+        # lasts — 2% headroom is far below any group's tail bytes. The
+        # consensus state (z/u/x, gated by the same GB value but not
+        # subtracted from the data ladder) also fits and pins — this is the
+        # production resident configuration.
         head_bytes = n_groups * nblocks * rows * head * 4
         budget_gb = head_bytes * 1.02 / (1 << 30)
         resident = "auto"
@@ -702,10 +705,10 @@ def bench_streaming():
         resident = "auto" if budget_gb > 0 else False
     trainer = StreamingAdmmTrainer(gs, vocab, cfg, resident_head=resident,
                                    resident_head_budget_gb=budget_gb)
+    residency = trainer.residency_report()   # ACTUAL pinned state
 
-    # host->device bytes actually wired per iteration: row arrays + the
-    # row-sorted tail triplet (the column-sorted copy is derived on device);
-    # pinned heads/groups never re-ship
+    # host->device DATA bytes actually wired per iteration: row arrays +
+    # both host-precomputed tail triplets; pinned tiers never re-ship
     def _wire(gi, g):
         if gi in trainer._resident_groups:
             return 0
@@ -713,11 +716,23 @@ def bench_streaming():
                 for f in ("indices", "values", "y", "weight", "offset",
                           "present", "tail_rows", "tail_cols", "tail_vals")
                 if getattr(g, f, None) is not None)
+        if gi not in trainer._resident_ctails:
+            b += sum(int(getattr(g, f).nbytes)
+                     for f in ("tail_c_rows", "tail_c_cols", "tail_c_vals")
+                     if getattr(g, f, None) is not None)
         if trainer._resident_heads is None and g.head is not None:
             b += int(g.head.nbytes)
         return b
 
     wire_bytes = sum(_wire(gi, g) for gi, g in enumerate(trainer.groups))
+    # consensus traffic: zero when device-resident; otherwise u up + x down
+    # per group plus the z-update round trip per iteration
+    L = n_lambdas
+    n_dim = trainer.dim
+    blocks_total = sum(g.nblocks for g in trainer.groups)
+    consensus_bytes = (0 if residency["consensus_device"]
+                       else 2 * 4 * L * blocks_total * n_dim  # u up + x down
+                       + 3 * 4 * L * n_dim)                   # v up, z down
 
     _PHASE = "streaming-run"
     acquire_s = _finish_device_acquire()
@@ -741,9 +756,10 @@ def bench_streaming():
             "iter_times_s": [round(t, 3) for t in res.iter_times],
             "total_wall_s": round(wall, 2),
             "device_acquire_s": round(acquire_s, 1),
-            "residency": resident if budget_gb else "none",
+            "residency": residency,
             "budget_gb": round(budget_gb, 4),
-            "streamed_mb_per_iter": round(wire_bytes / (1 << 20), 1),
+            "data_streamed_mb_per_iter": round(wire_bytes / (1 << 20), 1),
+            "consensus_mb_per_iter": round(consensus_bytes / (1 << 20), 1),
             "maxdiff_last": (res.diff_history[-1]
                              if res.diff_history else None),
             "device": str(jax.devices()[0]),

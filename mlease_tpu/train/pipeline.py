@@ -249,76 +249,10 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         logger.info("lambda-path warm start from %s (%d models)",
                     init_model_path, len(prev_models))
 
-    # ---- ADMM train ---------------------------------------------------
-    # streaming.groups > 1: the >HBM mode — blocks stay host-resident in N
-    # groups, transferred per iteration with double-buffered prefetch
-    # (train/streaming.py); checkpoint/resume applies to the in-memory
-    # trainer only
-    streaming_groups = config.get_int("streaming.groups", 0)
-    if streaming_groups > 1:
-        from mlease_tpu.core.dataset import split_blocks
-        from mlease_tpu.train.streaming import StreamingAdmmTrainer
-
-        rh = config.get_string("streaming.resident.head", "auto")
-        s_trainer = StreamingAdmmTrainer(
-            split_blocks(data, streaming_groups), vocab, cfg,
-            test_rows=test_rows, mesh=mesh,
-            resident_head={"auto": "auto", "true": True,
-                           "false": False}[rh],
-            resident_head_budget_gb=config.get_float(
-                "streaming.resident.head.gb", 8.0))
-        with_trace = config.get_string("profile.dir", "")
-        from mlease_tpu.utils.profiling import trace
-        with trace(with_trace):
-            result = s_trainer.run(z0=z0)
-        return _write_pipeline_outputs(config, result, out_base, test_path,
-                                       test_records, ignore_value)
-
-    # mesh.feature.shards > 1: feature model parallelism — the coefficient
-    # axis is column-sharded over a 2-D (block x feat) mesh so per-chip
-    # model HBM scales as n/shards (train/feature_sharded.py). Uses all
-    # visible devices (or the 1-D mesh's devices when use.mesh also set).
-    feat_shards = config.get_int("mesh.feature.shards", 0)
-    if feat_shards > 1:
-        import jax as _jax
-
-        from mlease_tpu.parallel.mesh import make_mesh_2d
-        from mlease_tpu.train.feature_sharded import FeatureShardedAdmmTrainer
-
-        devs = (list(mesh.devices.flat) if mesh is not None
-                else _jax.devices())
-        block = max(len(devs) // feat_shards, 1)
-        mesh2d = make_mesh_2d(devs, block=block, feat=feat_shards)
-        logger.info("feature-sharded mesh: %d block x %d feat devices",
-                    block, feat_shards)
-        for unsupported in ("resume", "write.train.output", "profile.dir"):
-            if config.get_string(unsupported, ""):
-                logger.warning(
-                    "%s is not supported with mesh.feature.shards and is "
-                    "ignored (the feature-sharded trainer has no "
-                    "checkpoint/interop dump path yet)", unsupported)
-        fs_trainer = FeatureShardedAdmmTrainer(
-            data, vocab, cfg, test_rows=test_rows, mesh=mesh2d)
-        result = fs_trainer.run(z0=z0)
-        return _write_pipeline_outputs(config, result, out_base, test_path,
-                                       test_records, ignore_value)
-
-    trainer = AdmmTrainer(data, vocab, cfg, test_rows=test_rows, mesh=mesh)
-
+    # ---- per-iteration callback machinery (shared by the in-memory and
+    # streaming trainers): crash checkpoints, the write.train.output interop
+    # dump, and per-iteration sample-loglik Avro files -------------------
     ckpt_dir = os.path.join(out_base, "checkpoint")
-    resume = config.get_boolean("resume", False)
-    run_kwargs: dict[str, Any] = {}
-    if resume:
-        state = ckpt.load_latest(ckpt_dir)
-        if state is not None:
-            logger.info("resuming from checkpoint iter %d", state["iteration"])
-            run_kwargs = dict(
-                z0=state["z"], u0=state["u"],
-                start_iteration=state["iteration"] + 1,
-                inner_eps0=state["inner_eps"], mindiff0=state["mindiff"],
-                best_loglik0=state["best_loglik"])
-            z0 = None
-
     best_state = {"loglik": -9999999.0}
 
     # remove.tmp.dir=true in the reference deletes old iter-i/ state
@@ -334,16 +268,17 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     # a reference cluster can inspect or resume mid-run state
     write_train_output = config.get_boolean("write.train.output", False)
     prev_u = {"u": None}
+    nblocks_total = data.nblocks
 
     def _dump_train_output(iteration, z_np, u_np):
         from mlease_tpu.core.linear_model import LinearModel
         u_old = (prev_u["u"] if prev_u["u"] is not None
                  else np.zeros_like(u_np))
         records = []
-        L, B = u_np.shape[0], u_np.shape[1]
+        L = u_np.shape[0]
         for li in range(L):
             lam_key = _fmt(cfg.lambdas[li])
-            for b in range(trainer.nblocks):
+            for b in range(nblocks_total):
                 # u_new = u_old + x - z  =>  x = u_new - u_old + z,
                 # uplusx = u_old + x = u_new + z
                 x_b = u_np[li, b] - u_old[li, b] + z_np[li]
@@ -380,6 +315,90 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                 os.path.join(out_base, "sample-test-loglik",
                              f"iteration-{iteration}.avro"),
                 schemas.SAMPLE_TEST_LOGLIK, logliks)
+
+    # ---- ADMM train ---------------------------------------------------
+    # streaming.groups > 1: the >HBM mode — blocks stay host-resident in N
+    # groups, transferred per iteration with double-buffered prefetch
+    # (train/streaming.py); checkpoint / resume / write.train.output work
+    # exactly as in the in-memory trainer (same callback contract)
+    streaming_groups = config.get_int("streaming.groups", 0)
+    if streaming_groups > 1:
+        from mlease_tpu.core.dataset import split_blocks
+        from mlease_tpu.train.streaming import StreamingAdmmTrainer
+
+        rh = config.get_string("streaming.resident.head", "auto")
+        cd = config.get_string("streaming.consensus.device", "auto")
+        s_trainer = StreamingAdmmTrainer(
+            split_blocks(data, streaming_groups), vocab, cfg,
+            test_rows=test_rows, mesh=mesh,
+            resident_head={"auto": "auto", "true": True,
+                           "false": False}[rh],
+            resident_head_budget_gb=config.get_float(
+                "streaming.resident.head.gb", 8.0),
+            consensus_device={"auto": "auto", "true": True,
+                              "false": False}[cd])
+        s_kwargs: dict[str, Any] = {"z0": z0}
+        if config.get_boolean("resume", False):
+            state = ckpt.load_latest(ckpt_dir)
+            if state is not None:
+                logger.info("resuming streaming run from checkpoint iter %d",
+                            state["iteration"])
+                s_kwargs = dict(
+                    z0=state["z"], u0=state["u"],
+                    start_iteration=state["iteration"] + 1,
+                    inner_eps0=state["inner_eps"],
+                    mindiff0=state["mindiff"],
+                    best_loglik0=state["best_loglik"])
+        with_trace = config.get_string("profile.dir", "")
+        from mlease_tpu.utils.profiling import trace
+        with trace(with_trace):
+            result = s_trainer.run(callback=on_iteration, **s_kwargs)
+        return _write_pipeline_outputs(config, result, out_base, test_path,
+                                       test_records, ignore_value)
+
+    # mesh.feature.shards > 1: feature model parallelism — the coefficient
+    # axis is column-sharded over a 2-D (block x feat) mesh so per-chip
+    # model HBM scales as n/shards (train/feature_sharded.py). Uses all
+    # visible devices (or the 1-D mesh's devices when use.mesh also set).
+    feat_shards = config.get_int("mesh.feature.shards", 0)
+    if feat_shards > 1:
+        import jax as _jax
+
+        from mlease_tpu.parallel.mesh import make_mesh_2d
+        from mlease_tpu.train.feature_sharded import FeatureShardedAdmmTrainer
+
+        devs = (list(mesh.devices.flat) if mesh is not None
+                else _jax.devices())
+        block = max(len(devs) // feat_shards, 1)
+        mesh2d = make_mesh_2d(devs, block=block, feat=feat_shards)
+        logger.info("feature-sharded mesh: %d block x %d feat devices",
+                    block, feat_shards)
+        for unsupported in ("resume", "write.train.output", "profile.dir"):
+            if config.get_string(unsupported, ""):
+                logger.warning(
+                    "%s is not supported with mesh.feature.shards and is "
+                    "ignored (the feature-sharded trainer has no "
+                    "checkpoint/interop dump path yet)", unsupported)
+        fs_trainer = FeatureShardedAdmmTrainer(
+            data, vocab, cfg, test_rows=test_rows, mesh=mesh2d)
+        result = fs_trainer.run(z0=z0)
+        return _write_pipeline_outputs(config, result, out_base, test_path,
+                                       test_records, ignore_value)
+
+    trainer = AdmmTrainer(data, vocab, cfg, test_rows=test_rows, mesh=mesh)
+
+    resume = config.get_boolean("resume", False)
+    run_kwargs: dict[str, Any] = {}
+    if resume:
+        state = ckpt.load_latest(ckpt_dir)
+        if state is not None:
+            logger.info("resuming from checkpoint iter %d", state["iteration"])
+            run_kwargs = dict(
+                z0=state["z"], u0=state["u"],
+                start_iteration=state["iteration"] + 1,
+                inner_eps0=state["inner_eps"], mindiff0=state["mindiff"],
+                best_loglik0=state["best_loglik"])
+            z0 = None
 
     if "z0" not in run_kwargs:
         run_kwargs["z0"] = z0

@@ -7,25 +7,48 @@ is the >HBM mode: blocks live in host RAM as packed groups, and each ADMM
 iteration runs
 
   phase 1: for each group g: transfer -> batched TRON x-update -> partial
-           consensus sums (x_g kept on host for the dual update); the NEXT
-           group's host->device transfer is issued right after the current
-           solve is dispatched, so PCIe rides under the solve (double
-           buffering — two groups resident at a time)
-  phase 2: z-update from the accumulated xbar/ubar (host, O(L*n))
-  phase 3: u_g += x_g - z per group (host numpy)
+           consensus sums; the NEXT group's host->device transfer is issued
+           right after the current solve is dispatched, so the wire rides
+           under the solve (double buffering)
+  phase 2: z-update from the accumulated xbar/ubar
+  phase 3: u_g += x_g - z per group
 
-Per-iteration host<->device traffic is the data groups themselves — the same
-volume per iteration the reference reads from HDFS, but over PCIe. Two
-standing reductions: the column-sorted tail copy is derived on device (a
-stable argsort of the transferred tail — bit-identical to the host sort),
-and in resident-head mode the dense head (the dominant transfer, identical
-every iteration) is pinned in device memory once at startup so only tails
-stream — "auto" enables it whenever all groups' heads fit the budget. The
-consensus math is shared bit-for-bit with the in-memory trainer
-(mlease_tpu.ops.admm_math), and results match it exactly; warm start
-(initialize.boost.rate), per-iteration sample test loglik and best-model
-tracking follow RegressionAdmmTrain.java:236-280, 766-845 exactly as the
-in-memory trainer does (see tests/test_streaming.py).
+Two consensus-state placements, picked by budget:
+
+  * device-resident consensus (the default whenever 2*L*N*n*dtype fits the
+    budget): z, every group's dual u_g and the iteration's x_g stay in HBM;
+    phases 1-3 are chained async device dispatches and the ONLY per-iteration
+    host sync is one (2L,)-scalar fetch of (diffs, loglik). Per-iteration
+    wire for a group is just its invariant data (nothing at all for pinned
+    groups) — where the reference re-reads every byte from HDFS per
+    MapReduce round (RegressionAdmmTrain.java:281-355), and where the
+    round-2 host-consensus loop shipped u up + x down per group per
+    iteration (the measured 2.68 s/iter floor at 262K x 200K, dominated by
+    per-group consensus transfers + a per-iteration device re-sort).
+  * host-resident consensus (consensus state exceeds the budget — models
+    so large that L*nblocks*n alone outgrows HBM): u/x live in host numpy,
+    x is fetched per group and the z/u updates run as before.
+
+Invariant work is computed once: the column-sorted tail copy is built on the
+HOST at construction (to_hybrid(column_sorted=True)) — never re-derived on
+device per iteration (the round-2 design re-sorted every non-resident
+group's tail every iteration; at 200K features that vmapped stable argsort
+was the measured per-iteration floor, ROADMAP 4d). Residency ladder under
+`resident_head_budget_gb`: (tier 1) every group's dense head — the dominant
+transfer; (tier 2) whole groups; (tier 3) remaining groups' column-sorted
+tail triplets. Groups past the budget stream both tail copies from host
+(12 B/nnz more wire than round 2, zero sort — the wire is measured NOT to
+be the bottleneck on the tunneled chip, and is even cheaper on local PCIe).
+
+The consensus math is shared with the in-memory trainer
+(mlease_tpu.ops.admm_math); warm start (initialize.boost.rate),
+per-iteration sample test loglik and best-model tracking follow
+RegressionAdmmTrain.java:236-280, 766-845 exactly as the in-memory trainer
+does (see tests/test_streaming.py). A `callback` with the AdmmTrainer.run
+contract enables per-iteration checkpointing and the write.train.output
+interop dump (fetches z/u to host — the documented cost of the dump,
+exactly the state the reference writes per iteration,
+RegressionAdmmTrain.java:707-711).
 
 Deliberately unsupported here: the CSC dual layout (it doubles per-iteration
 PCIe traffic for a gather-path experiment that only pays off HBM-resident).
@@ -36,7 +59,7 @@ from __future__ import annotations
 import logging
 import time
 from functools import partial
-from typing import Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,17 +76,21 @@ logger = logging.getLogger(__name__)
 
 def _group_stream_bytes(g) -> int:
     """Device bytes a fully-resident group pins: every per-iteration data
-    transfer plus the on-device column-sorted tail copy (same size as the
-    tail triplet)."""
+    transfer (both tail layouts included)."""
     total = 0
-    for f in ("indices", "values", "y", "weight", "offset", "present"):
+    for f in ("indices", "values", "y", "weight", "offset", "present",
+              "tail_rows", "tail_cols", "tail_vals",
+              "tail_c_rows", "tail_c_cols", "tail_c_vals"):
         a = getattr(g, f, None)
         if a is not None:
             total += int(a.nbytes)
-    tail = sum(int(getattr(g, f).nbytes)
-               for f in ("tail_rows", "tail_cols", "tail_vals")
+    return total
+
+
+def _ctail_bytes(g) -> int:
+    return sum(int(getattr(g, f).nbytes)
+               for f in ("tail_c_rows", "tail_c_cols", "tail_c_vals")
                if getattr(g, f, None) is not None)
-    return total + 2 * tail   # tail triplet + derived sorted copy
 
 
 @jax.jit
@@ -72,9 +99,11 @@ def _sort_tail_by_column(rows, cols, vals):
 
     A stable argsort of tail_cols produces the bit-identical permutation the
     host pack (core/dataset.to_hybrid) would have produced, so downstream
-    segment-sums see the exact same summation order — but the three sorted
-    arrays never cross the host->device wire. Per block: one (T,) sort (~ms)
-    vs ~12 bytes/nonzero of tunnel/PCIe traffic per iteration."""
+    segment-sums see the exact same summation order. Kept as the fallback
+    for callers that hand-construct groups without host-sorted tails; the
+    trainer itself sorts ONCE on the host at construction (re-deriving this
+    every iteration from iteration-invariant data was the round-2 streaming
+    floor)."""
     def one(r, c, v):
         order = jnp.argsort(c, stable=True)
         return r[order], c[order], v[order]
@@ -99,6 +128,37 @@ def _z_update_all(v, lam_vec, rhos, *, regularizer, nblocks, intercept_index,
                                      intercept_index, penalize_intercept,
                                      reference_compat=reference_compat)
     return jax.vmap(one)(v, lam_vec, rhos)
+
+
+@partial(jax.jit, static_argnames=("regularizer", "nblocks",
+                                   "intercept_index", "penalize_intercept",
+                                   "reference_compat"))
+def _z_update_from_sums(xsum, usum, z, lam_vec, rhos, *, regularizer,
+                        nblocks, intercept_index, penalize_intercept,
+                        reference_compat):
+    """Device-consensus phase 2: v = (sum x + sum u)/N, per-lane z-update,
+    per-lane max|dz| — one dispatch, nothing fetched."""
+    v = (xsum + usum) / nblocks
+    z_new = _z_update_all(v, lam_vec, rhos, regularizer=regularizer,
+                          nblocks=nblocks, intercept_index=intercept_index,
+                          penalize_intercept=penalize_intercept,
+                          reference_compat=reference_compat)
+    diffs = admm_math.max_abs_diff(z_new, z.astype(z_new.dtype), axis=-1)
+    return z_new, diffs
+
+
+@jax.jit
+def _partial_sums(x, u, bv):
+    """Per-group consensus partials (sum over REAL blocks), on device."""
+    m = bv[None, :, None]
+    return jnp.sum(x * m, axis=1), jnp.sum(u * m, axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _u_update_dev(u, x, z_new, bv):
+    """Phase 3 on device: u += x - z (padded mesh blocks masked to 0);
+    donates the old dual buffer."""
+    return (u + x - z_new[:, None, :]) * bv[None, :, None]
 
 
 def build_group_solver(max_newton_iter: int, max_cg_iter: int,
@@ -198,24 +258,31 @@ class StreamingAdmmTrainer:
     groups: list of BlockedData whose block counts sum to the logical
     num.blocks. Groups may have different padded shapes (each gets its own
     compiled solver specialization).
+
+    consensus_device: "auto" (default) keeps z / u / x in device memory
+    whenever 2*L*nblocks*n*itemsize fits resident_head_budget_gb (checked
+    against the FULL budget — consensus state is solver state like the TRON
+    workspace, not data, and does not consume the data-residency ladder's
+    budget); True forces it; False forces host-resident consensus (the
+    fallback for models whose dual state alone outgrows HBM).
     """
 
     def __init__(self, groups: Sequence[BlockedData], vocab,
                  config: AdmmConfig, test_rows=None, mesh=None,
                  resident_head: str | bool = "auto",
-                 resident_head_budget_gb: float = 8.0):
+                 resident_head_budget_gb: float = 8.0,
+                 consensus_device: str | bool = "auto"):
         if config.dual_layout:
             raise NotImplementedError(
                 "dual layout in streaming mode: the CSC arrays double the "
                 "per-iteration PCIe transfer; use the HBM-resident trainer")
         if config.head_size > 0:
             from mlease_tpu.core.dataset import to_hybrid
-            # column_sorted=False: the sorted-tail copy is derived ON DEVICE
-            # after each transfer (_put_group) — a stable argsort of the same
-            # input yields the bit-identical permutation, so results match
-            # the host-sorted path exactly while the wire ships 3 fewer tail
-            # arrays per group per iteration
-            groups = [to_hybrid(g, config.head_size, column_sorted=False)
+            # column_sorted=True: the sorted-tail copy is derived ONCE on
+            # the host — the round-2 design derived it on device EVERY
+            # iteration (a vmapped stable argsort of iteration-invariant
+            # data; the measured streaming floor at wide-feature shapes)
+            groups = [to_hybrid(g, config.head_size, column_sorted=True)
                       if g.head is None else g
                       for g in groups]
         # one-time wire-format normalization: value arrays convert to the
@@ -235,6 +302,25 @@ class StreamingAdmmTrainer:
             offset=_conv(g.offset, dt), head=_conv(g.head, hdt),
             tail_vals=_conv(g.tail_vals, dt),
             tail_c_vals=_conv(g.tail_c_vals, dt)) for g in groups]
+        # hand-constructed hybrid groups without a host-sorted tail copy:
+        # sort once here (np stable argsort per block — identical
+        # permutation to core/dataset.to_hybrid)
+        fixed = []
+        for g in groups:
+            if g.tail_cols is not None and g.tail_c_cols is None:
+                B = g.tail_cols.shape[0]
+                tc_r = np.empty_like(g.tail_rows)
+                tc_c = np.empty_like(g.tail_cols)
+                tc_v = np.empty_like(g.tail_vals)
+                for b in range(B):
+                    order = np.argsort(g.tail_cols[b], kind="stable")
+                    tc_r[b] = g.tail_rows[b][order]
+                    tc_c[b] = g.tail_cols[b][order]
+                    tc_v[b] = g.tail_vals[b][order]
+                g = g._replace(tail_c_rows=tc_r, tail_c_cols=tc_c,
+                               tail_c_vals=tc_v)
+            fixed.append(g)
+        groups = fixed
         # consensus divisor = real blocks only (padding masked below)
         self.nblocks = sum(g.nblocks for g in groups)
         self.real_nblocks = [g.nblocks for g in groups]
@@ -257,23 +343,39 @@ class StreamingAdmmTrainer:
         self.lambdas = [float(l) for l in config.lambdas]
         self.rhos = config.resolved_rhos()
         self.use_head = self.groups[0].head is not None
-        # Tiered residency: all of a group's data arrays are invariant
-        # across iterations, so every byte pinned in HBM is a byte the wire
-        # never pays again. Budgeted greedy ladder (resident_head_budget_gb,
-        # headroom left for solver workspace + streamed double-buffers):
-        #   tier 1 — every group's dense head (the dominant transfer:
-        #            4.8 GB of ~6.5 GB/iter at 10M rows x head 128);
-        #   tier 2 — whole groups (tails + derived column-sorted copy +
-        #            y/weight/offset/present/ELL), in order, while they fit.
-        # A fully-resident group's per-iteration wire is just u up / x down.
-        # Groups past the budget stream exactly as before — the ladder
-        # degrades gracefully from "in-memory residency with group-shaped
-        # programs" down to full streaming as data outgrows HBM.
+
+        # ---- consensus placement ------------------------------------
+        # device-resident consensus: z, u_g and the in-flight x_g stay in
+        # HBM; per-iteration host traffic collapses to one scalar fetch.
+        # Gated by the SAME GB number as the data ladder but not subtracted
+        # from it (solver state, not data).
+        budget_gb = (float("inf") if resident_head is True
+                     else float(resident_head_budget_gb))
+        L = len(self.lambdas)
+        itemsize = np.dtype(config.dtype).itemsize
+        blocks_total = sum(g.nblocks for g in self.groups)
+        consensus_bytes = 2 * L * blocks_total * self.dim * itemsize
+        if consensus_device == "auto":
+            self._consensus_device = (consensus_bytes
+                                      <= budget_gb * (1 << 30))
+        else:
+            self._consensus_device = bool(consensus_device)
+        self._u_dev: list | None = None   # built lazily in run()
+
+        # ---- tiered data residency (resident_head_budget_gb) ---------
+        #   tier 1 — every group's dense head (the dominant transfer);
+        #   tier 2 — whole groups (both tail layouts + y/weight/offset/
+        #            present/ELL), in order, while they fit;
+        #   tier 3 — remaining groups' column-sorted tail triplets (kills
+        #            12 B/nnz of wire per group while budget lasts).
+        # A fully-resident group's per-iteration wire is ZERO under device
+        # consensus. Groups past the budget stream both host-precomputed
+        # tail layouts — never a per-iteration sort.
         self._resident_heads: list | None = None
         self._resident_groups: dict[int, tuple] = {}
+        self._resident_ctails: dict[int, tuple] = {}
         if self.use_head and resident_head in ("auto", True):
-            budget = (float("inf") if resident_head is True
-                      else resident_head_budget_gb * (1 << 30))
+            budget = budget_gb * (1 << 30)
             head_bytes = sum(g.head.nbytes for g in self.groups)
             if head_bytes <= budget:
                 self._resident_heads = [
@@ -288,12 +390,27 @@ class StreamingAdmmTrainer:
                     self._resident_groups[gi] = self._pin_group(gi)
                     budget -= gb
                     pinned += gb
+                for gi, g in enumerate(self.groups):
+                    if gi in self._resident_groups:
+                        continue
+                    cb = _ctail_bytes(g)
+                    if 0 < cb <= budget:
+                        self._resident_ctails[gi] = (
+                            self._put_b(g.tail_c_rows),
+                            self._put_b(g.tail_c_cols),
+                            self._put_b(g.tail_c_vals))
+                        budget -= cb
+                        pinned += cb
                 logger.info(
                     "resident mode: %.2f GB pinned in device memory "
-                    "(all %d heads + %d/%d full groups); resident groups "
-                    "ship only u/x per iteration, the rest stream",
+                    "(all %d heads + %d/%d full groups + %d sorted tails); "
+                    "consensus state (%.2f GB) %s",
                     pinned / (1 << 30), len(self.groups),
-                    len(self._resident_groups), len(self.groups))
+                    len(self._resident_groups), len(self.groups),
+                    len(self._resident_ctails),
+                    consensus_bytes / (1 << 30),
+                    "device-resident" if self._consensus_device
+                    else "host-resident")
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
             use_head=self.use_head,
@@ -329,6 +446,18 @@ class StreamingAdmmTrainer:
                 jnp.asarray(blk.offset, dtype))
             self.loglik_fn = build_loglik_fn()
 
+    # ------------------------------------------------------------------
+    def residency_report(self) -> dict:
+        """The ACTUAL pinned state (bench accounting; not the requested
+        mode — the ladder may have skipped tiers that did not fit)."""
+        return {
+            "consensus_device": bool(self._consensus_device),
+            "heads_pinned": self._resident_heads is not None,
+            "full_groups_pinned": len(self._resident_groups),
+            "sorted_tails_pinned": len(self._resident_ctails),
+            "n_groups": len(self.groups),
+        }
+
     def sample_loglik(self, z) -> np.ndarray:
         idx, val, y, w, off = self.test_arrays
         return np.asarray(self.loglik_fn(
@@ -341,12 +470,9 @@ class StreamingAdmmTrainer:
 
         All float arrays ship exactly as stored (one-time dtype conversion
         in __init__ — with head_dtype=bfloat16 the dense head, the largest
-        transfer, ships at half width). The column-sorted tail copy is NOT
-        transferred when absent: it is derived on device by a stable argsort
-        of tail_cols (bit-identical permutation to the host sort, so sums
-        match the host-sorted layout exactly) — 3 fewer (B, T) arrays on the
-        wire per group per iteration. Fully-resident groups (tiered
-        residency, __init__) return their pinned device tuple outright."""
+        transfer, ships at half width). Both tail layouts were computed on
+        the host once at construction; pinned tiers (full group / sorted
+        tail / heads) return their device arrays outright."""
         if gi in self._resident_groups:
             return self._resident_groups[gi]
         g = self.groups[gi]
@@ -355,9 +481,8 @@ class StreamingAdmmTrainer:
         if self.use_head:
             t_rows, t_cols = put_b(g.tail_rows), put_b(g.tail_cols)
             t_vals = put_b(g.tail_vals)
-            if g.tail_c_rows is None:
-                tc_rows, tc_cols, tc_vals = _sort_tail_by_column(
-                    t_rows, t_cols, t_vals)
+            if gi in self._resident_ctails:
+                tc_rows, tc_cols, tc_vals = self._resident_ctails[gi]
             else:
                 tc_rows, tc_cols = put_b(g.tail_c_rows), put_b(g.tail_c_cols)
                 tc_vals = put_b(g.tail_c_vals)
@@ -373,7 +498,7 @@ class StreamingAdmmTrainer:
 
     def _pin_group(self, gi: int):
         """Transfer group gi once and keep the device tuple (tier-2
-        residency). The derived column-sorted tail stays resident too."""
+        residency)."""
         return self._put_group(gi, self.config.dtype)
 
     def _put_b(self, a):
@@ -384,6 +509,14 @@ class StreamingAdmmTrainer:
                                   block_sharding(self.mesh, 0))
         return jnp.asarray(a)
 
+    def _put_u(self, a):
+        """Dual state: block axis is axis 1 ((L, B, n))."""
+        if self.mesh is not None:
+            from mlease_tpu.parallel.mesh import block_sharding
+            return jax.device_put(np.asarray(a),
+                                  block_sharding(self.mesh, 1))
+        return jnp.asarray(a)
+
     def _put_r(self, a):
         """Host->device put, replicated under a mesh."""
         if self.mesh is not None:
@@ -391,7 +524,20 @@ class StreamingAdmmTrainer:
             return jax.device_put(np.asarray(a), replicated(self.mesh))
         return jnp.asarray(a)
 
-    def run(self, z0: np.ndarray | None = None) -> AdmmResult:
+    # ------------------------------------------------------------------
+    def run(self, z0: np.ndarray | None = None, *,
+            u0: np.ndarray | None = None, start_iteration: int = 1,
+            inner_eps0: float | None = None, mindiff0: float = 99999999.0,
+            best_loglik0: float = -9999999.0,
+            callback: Callable | None = None) -> AdmmResult:
+        """Run the streaming driver loop.
+
+        z0/u0/start_iteration/inner_eps0/mindiff0/best_loglik0 resume from a
+        checkpoint (mlease_tpu.utils.checkpoint), exactly as
+        AdmmTrainer.run. `callback(iteration=, z=, u=, diffs=, inner_eps=,
+        logliks=)` fires per iteration with HOST state (device-consensus
+        mode fetches z/u for it — the cost of checkpointing/interop dumps).
+        """
         cfg = self.config
         dtype = cfg.dtype
         L, n, N = len(self.lambdas), self.dim, self.nblocks
@@ -401,9 +547,16 @@ class StreamingAdmmTrainer:
         z = (np.zeros((L, n)) if z0 is None
              else np.broadcast_to(np.asarray(z0, np.float64), (L, n)).copy())
         u_groups = [np.zeros((L, g.nblocks, n)) for g in self.groups]
-        inner_eps = cfg.liblinear_epsilon
-        mindiff = 99999999.0
-        best_loglik = -9999999.0
+        if u0 is not None:
+            u0 = np.asarray(u0, np.float64)
+            off = 0
+            for gi, real in enumerate(self.real_nblocks):
+                u_groups[gi][:, :real] = u0[:, off:off + real]
+                off += real
+        inner_eps = (cfg.liblinear_epsilon if inner_eps0 is None
+                     else float(inner_eps0))
+        mindiff = mindiff0
+        best_loglik = best_loglik0
         best_model: LinearModel | None = None
         best_lambda: str | None = None
         loglik_history: list[dict] = []
@@ -411,15 +564,31 @@ class StreamingAdmmTrainer:
         iter_times: list[float] = []
         converged = False
         t_start = time.monotonic()
-        iteration = 0
+        iteration = start_iteration - 1
+        track_ll = self.test_arrays is not None and cfg.test_loglik_per_iter
+
+        dev = self._consensus_device
+        if dev:
+            z_dev = self._put_r(np.asarray(z, dtype))
+            self._u_dev = [self._put_u(np.asarray(u_g, dtype))
+                           for u_g in u_groups]
+            bv_dev = [self._put_r(np.asarray(bv, dtype))
+                      for bv in self.block_valid]
+            lam_dev = self._put_r(np.asarray(self.lam_vec, dtype))
+            rhob_dev = self._put_r(np.asarray(self.rhos, dtype))
 
         # iteration-0 loglik when warm-started (RegressionAdmmTrain.java:277-280)
-        if z0 is not None and self.test_arrays is not None and cfg.test_loglik_per_iter:
+        if z0 is not None and track_ll and start_iteration == 1:
             for lam, ll in zip(self.lambdas, self.sample_loglik(z)):
                 loglik_history.append({"lambda": _lambda_key(lam), "iter": 0,
                                        "testLoglik": float(ll)})
 
-        for iteration in range(1, cfg.num_iters + 1):
+        zup_static = dict(regularizer=cfg.regularizer, nblocks=N,
+                          intercept_index=self.vocab.intercept_index,
+                          penalize_intercept=cfg.penalize_intercept,
+                          reference_compat=cfg.reference_l1_compat)
+
+        for iteration in range(start_iteration, cfg.num_iters + 1):
             t_iter = time.monotonic()
             inner_eps = admm_math.inner_eps_schedule(
                 inner_eps, iteration, mindiff,
@@ -431,73 +600,106 @@ class StreamingAdmmTrainer:
                                            if z0 is not None else 0.0),
                     rho_adapt_coefficient=cfg.rho_adapt_coefficient)
                 for r in self.rhos], dtype)
-            z_dev = jnp.asarray(z, dtype)
 
-            xsum = np.zeros((L, n))
-            usum = np.zeros((L, n))
-            x_devs = []
-            pending = self._put_group(0, dtype)     # prefetch first group
-            for gi, (u_g, scale) in enumerate(zip(u_groups,
-                                                  self.eps_scales)):
-                arrs = pending
-                indices, values, y, weight, offset, head, present = arrs
-                u_dev = jnp.asarray(u_g, dtype)
+            if dev:
+                # ---- device-resident consensus iteration -------------
+                # every dispatch below is async; the single host sync is
+                # the (diffs, loglik) scalar fetch at the end
+                xsum = usum = None
+                x_keep = []
+                pending = self._put_group(0, dtype)
+                for gi, scale in enumerate(self.eps_scales):
+                    arrs = pending
+                    indices, values, y, weight, offset, head, present = arrs
+                    x_dev = self.solver(indices, values, y, weight, offset,
+                                        head, present, z_dev,
+                                        self._u_dev[gi], rho_eff,
+                                        jnp.asarray(inner_eps * scale,
+                                                    dtype))
+                    if gi + 1 < len(self.groups):
+                        pending = self._put_group(gi + 1, dtype)
+                    xs, us = _partial_sums(x_dev, self._u_dev[gi],
+                                           bv_dev[gi])
+                    xsum = xs if xsum is None else xsum + xs
+                    usum = us if usum is None else usum + us
+                    x_keep.append(x_dev)
+                z_new, diffs_dev = _z_update_from_sums(
+                    xsum, usum, z_dev, lam_dev, rhob_dev, **zup_static)
+                for gi in range(len(self.groups)):
+                    self._u_dev[gi] = _u_update_dev(
+                        self._u_dev[gi], x_keep[gi], z_new, bv_dev[gi])
+                del x_keep
+                if track_ll:
+                    idx, val, yv, wv, offv = self.test_arrays
+                    ll_dev = self.loglik_fn(idx, val, yv, wv, offv, z_new)
+                    out = np.asarray(
+                        jnp.concatenate([diffs_dev, ll_dev]), np.float64)
+                    diffs, lls = out[:L], out[L:]
+                else:
+                    diffs = np.asarray(diffs_dev, np.float64)
+                    lls = None
+                z_dev = z_new
+            else:
+                # ---- host-resident consensus iteration ---------------
+                z_put = jnp.asarray(z, dtype)
                 if self.mesh is not None:
-                    from mlease_tpu.parallel.mesh import block_sharding
-                    u_dev = jax.device_put(u_dev,
-                                           block_sharding(self.mesh, 1))
-                x_dev = self.solver(indices, values, y, weight, offset, head,
-                                    present, z_dev, u_dev, rho_eff,
-                                    jnp.asarray(inner_eps * scale, dtype))
-                # double buffering: issue the next group's transfer while the
-                # current solve runs, and start this group's x copying back
-                # asynchronously — the host syncs ONCE after the last group,
-                # so neither the next transfer nor the next solve ever waits
-                # on a device->host round trip (the x results are tiny
-                # relative to the group data: (L, B_g, n) per group)
-                if gi + 1 < len(self.groups):
-                    pending = self._put_group(gi + 1, dtype)
-                try:
-                    x_dev.copy_to_host_async()
-                except Exception:
-                    pass
-                x_devs.append(x_dev)
-            x_groups = [np.asarray(xd, np.float64) for xd in x_devs]
-            for gi, (x, u_g) in enumerate(zip(x_groups, u_groups)):
-                real = self.real_nblocks[gi]    # mesh padding is a suffix
-                xsum += x[:, :real].sum(axis=1)
-                usum += u_g[:, :real].sum(axis=1)
+                    z_put = self._put_r(np.asarray(z, dtype))
+                xsum_h = np.zeros((L, n))
+                usum_h = np.zeros((L, n))
+                x_devs = []
+                pending = self._put_group(0, dtype)
+                for gi, (u_g, scale) in enumerate(zip(u_groups,
+                                                      self.eps_scales)):
+                    arrs = pending
+                    indices, values, y, weight, offset, head, present = arrs
+                    u_dev = self._put_u(np.asarray(u_g, dtype))
+                    x_dev = self.solver(indices, values, y, weight, offset,
+                                        head, present, z_put, u_dev, rho_eff,
+                                        jnp.asarray(inner_eps * scale,
+                                                    dtype))
+                    # double buffering: issue the next group's transfer
+                    # while the current solve runs; the host syncs ONCE
+                    # after the last group
+                    if gi + 1 < len(self.groups):
+                        pending = self._put_group(gi + 1, dtype)
+                    try:
+                        x_dev.copy_to_host_async()
+                    except Exception:
+                        pass
+                    x_devs.append(x_dev)
+                x_groups = [np.asarray(xd, np.float64) for xd in x_devs]
+                for gi, (x, u_g) in enumerate(zip(x_groups, u_groups)):
+                    real = self.real_nblocks[gi]  # mesh padding is a suffix
+                    xsum_h += x[:, :real].sum(axis=1)
+                    usum_h += u_g[:, :real].sum(axis=1)
 
-            v = (xsum + usum) / N
-            # consensus shrinkage uses the BASE rho; adaptation only shapes
-            # the x-subproblem (RegressionAdmmTrain.java:368-380 vs :648-658)
-            v_dev = jnp.asarray(v)
-            z_new = np.asarray(_z_update_all(
-                v_dev, jnp.asarray(self.lam_vec),
-                jnp.asarray(self.rhos, v_dev.dtype),
-                regularizer=cfg.regularizer, nblocks=N,
-                intercept_index=self.vocab.intercept_index,
-                penalize_intercept=cfg.penalize_intercept,
-                reference_compat=cfg.reference_l1_compat), z.dtype)
+                v = (xsum_h + usum_h) / N
+                # consensus shrinkage uses the BASE rho; adaptation only
+                # shapes the x-subproblem (RegressionAdmmTrain.java:368-380
+                # vs :648-658)
+                v_dev = jnp.asarray(v)
+                z_new = np.asarray(_z_update_all(
+                    v_dev, jnp.asarray(self.lam_vec),
+                    jnp.asarray(self.rhos, v_dev.dtype),
+                    **zup_static), z.dtype)
+                for x, u_g in zip(x_groups, u_groups):
+                    u_g += x - z_new[:, None, :]
+                diffs = np.abs(z_new - z).max(axis=1)
+                z = z_new
+                lls = self.sample_loglik(z) if track_ll else None
 
-            for x, u_g in zip(x_groups, u_groups):
-                u_g += x - z_new[:, None, :]
-
-            diffs = np.abs(z_new - z).max(axis=1)
             mindiff = float(diffs.min())
             maxdiff = float(diffs.max())
             diff_history.append({_lambda_key(l): float(d)
                                  for l, d in zip(self.lambdas, diffs)})
-            z = z_new
             iter_times.append(time.monotonic() - t_iter)
             logger.info("stream iter %d: maxdiff=%g (%.2fs)", iteration,
                         maxdiff, iter_times[-1])
 
             # per-iteration sample loglik + best-model tracking
             # (RegressionAdmmTrain.java:766-845)
-            if self.test_arrays is not None and cfg.test_loglik_per_iter:
-                for li, (lam, ll) in enumerate(
-                        zip(self.lambdas, self.sample_loglik(z))):
+            if track_ll:
+                for li, (lam, ll) in enumerate(zip(self.lambdas, lls)):
                     ll = float(ll)
                     loglik_history.append({"lambda": _lambda_key(lam),
                                            "iter": iteration,
@@ -505,21 +707,51 @@ class StreamingAdmmTrainer:
                     if ll > best_loglik:
                         best_loglik = ll
                         best_lambda = _lambda_key(lam)
-                        best_model = LinearModel.from_dense(z[li], self.vocab)
+                        z_li = (np.asarray(z_dev[li], np.float64) if dev
+                                else z[li])
+                        best_model = LinearModel.from_dense(z_li, self.vocab)
+
+            if callback is not None:
+                if dev:
+                    z_cb = np.asarray(z_dev, np.float64)
+                    u_cb = np.concatenate(
+                        [np.asarray(ud, np.float64)[:, :real]
+                         for ud, real in zip(self._u_dev,
+                                             self.real_nblocks)], axis=1)
+                else:
+                    z_cb = z
+                    u_cb = np.concatenate(
+                        [u_g[:, :real] for u_g, real
+                         in zip(u_groups, self.real_nblocks)], axis=1)
+                iter_lls = ([{"lambda": _lambda_key(lam), "iter": iteration,
+                              "testLoglik": float(ll)}
+                             for lam, ll in zip(self.lambdas, lls)]
+                            if lls is not None else None)
+                callback(iteration=iteration, z=z_cb, u=u_cb, diffs=diffs,
+                         inner_eps=inner_eps, logliks=iter_lls)
 
             if admm_math.should_stop(maxdiff, inner_eps, cfg.epsilon,
                                      cfg.inner_eps_floor):
                 converged = True
                 break
 
+        if dev:
+            z = np.asarray(z_dev, np.float64)
+            u_full = np.concatenate(
+                [np.asarray(ud, np.float64)[:, :real]
+                 for ud, real in zip(self._u_dev, self.real_nblocks)],
+                axis=1)
+        else:
+            u_full = np.concatenate(
+                [u_g[:, :real] for u_g, real
+                 in zip(u_groups, self.real_nblocks)], axis=1)
         models = {_lambda_key(l): LinearModel.from_dense(z[i], self.vocab)
                   for i, l in enumerate(self.lambdas)}
-        u_full = np.concatenate([u_g[:, :real] for u_g, real
-                                 in zip(u_groups, self.real_nblocks)], axis=1)
         return AdmmResult(models=models, best_model=best_model,
                           best_lambda=best_lambda,
                           best_loglik=best_loglik, iterations=iteration,
                           sample_loglik_history=loglik_history,
-                          diff_history=diff_history, z=z, u=u_full,
+                          diff_history=diff_history, z=np.asarray(z),
+                          u=u_full,
                           converged=converged, iter_times=iter_times,
                           wall_time=time.monotonic() - t_start)

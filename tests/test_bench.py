@@ -62,17 +62,22 @@ def test_bench_admm_emits_final_json(tmp_path):
 
 @pytest.mark.slow
 def test_bench_streaming_emits_final_json(tmp_path):
-    """BENCH_MODE=streaming on CPU: positive iter/s, heads-resident default,
-    and a nonzero streamed-bytes accounting (tails still wire per
-    iteration)."""
+    """BENCH_MODE=streaming on CPU: positive iter/s, the ACTUAL pinned state
+    reported (heads pinned + device-resident consensus in the default
+    configuration — not the requested mode string), and a nonzero
+    data-streamed accounting (tails still wire per iteration) with zero
+    consensus wire."""
     parsed = _run_bench(tmp_path, {"BENCH_MODE": "streaming",
                                    "BENCH_GROUPS": "2",
                                    "BENCH_DEADLINE": "0"})
     final = parsed[-1]
     assert final["metric"] == "streaming_admm_iterations_per_s"
     assert final["value"] > 0
-    assert final["detail"]["streamed_mb_per_iter"] > 0
-    assert final["detail"]["residency"] == "auto"
+    assert final["detail"]["data_streamed_mb_per_iter"] > 0
+    residency = final["detail"]["residency"]
+    assert residency["heads_pinned"] is True
+    assert residency["consensus_device"] is True
+    assert final["detail"]["consensus_mb_per_iter"] == 0
 
 
 @pytest.mark.slow

@@ -346,3 +346,50 @@ def test_lambda_path_extension_warm_start(tmp_path):
     assert _nearest_lambda_model(1.0, models) == "m1"
     assert _nearest_lambda_model(3.0, models) == "m1"     # log-nearer to 1
     assert _nearest_lambda_model(4.0, models) == "m10"    # log-nearer to 10
+
+
+def test_pipeline_write_train_output_streaming(tmp_path):
+    """write.train.output in STREAMING mode (streaming.groups=2) dumps the
+    same RegressionTrainOutput wire format as the in-memory path, verified
+    by recomputing the consensus z-update from the dumped uplusx vectors
+    (RegressionAdmmTrain.java:707-711 writes this state per iteration from
+    precisely the >HBM-scale runs streaming mode serves)."""
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    import jax.numpy as jnp
+
+    from mlease_tpu.core.linear_model import LinearModel
+    from mlease_tpu.core.vocab import FeatureVocab
+    from mlease_tpu.ops import admm_math
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    out = str(tmp_path / "sdump")
+    nblocks, lam = 4, 1.0
+    cfg = JobConfig({
+        "input.paths": path, "output.base.path": out,
+        "num.blocks": str(nblocks), "lambda": "1", "num.iters": "3",
+        "regularizer": "2", "force.output.overwrite": "true",
+        "write.train.output": "true", "remove.tmp.dir": "false",
+        "streaming.groups": "2", "dtype": "float64",
+    })
+    result = run_regression_pipeline(cfg)
+    vocab = FeatureVocab.load(os.path.join(out, "model-vocab.json"))
+
+    last = result.iterations
+    recs = list(avro.read_records(
+        os.path.join(out, f"iter-{last}", "model", "part-r-00000.avro")))
+    assert len(recs) == nblocks
+    assert {r["key"] for r in recs} == {f"1.0#{b}" for b in range(nblocks)}
+
+    v = np.zeros(vocab.size)
+    for r in recs:
+        v += LinearModel.from_avro(r["uplusx"]).to_dense(vocab)
+    v /= nblocks
+    lam_vec = np.full(vocab.size, lam)
+    z_ref = np.asarray(admm_math.z_update_l2(
+        jnp.asarray(v), jnp.asarray(lam_vec), 1.0, nblocks,
+        vocab.intercept_index, False))
+    np.testing.assert_allclose(z_ref, result.z[0], rtol=1e-5, atol=1e-7)
+    # checkpoints exist too (streaming resume state)
+    assert os.path.isdir(os.path.join(out, "checkpoint"))

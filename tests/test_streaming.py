@@ -270,3 +270,84 @@ def test_streaming_tiered_residency_budget_ladder():
     assert t2._put_group(1, jnp.float64) is t2._resident_groups[1]
     np.testing.assert_array_equal(np.asarray(t2.run().z),
                                   np.asarray(t1.run().z))
+
+
+def test_streaming_host_consensus_parity():
+    """consensus_device=False (host-resident duals, the >HBM-consensus
+    fallback) must match the device-consensus default to float64 roundoff,
+    and both must match the in-memory trainer."""
+    rng = np.random.default_rng(11)
+    rows = synth_rows(rng, 400)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=6,
+                     dtype=jnp.float64, multi_rhs=True, head_size=4)
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    t_dev = StreamingAdmmTrainer(groups, vocab, cfg, consensus_device=True)
+    t_host = StreamingAdmmTrainer(groups, vocab, cfg, consensus_device=False)
+    assert t_dev.residency_report()["consensus_device"]
+    assert not t_host.residency_report()["consensus_device"]
+    r_dev, r_host = t_dev.run(), t_host.run()
+    np.testing.assert_allclose(r_dev.z, r_host.z, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(r_dev.u, r_host.u, rtol=1e-11, atol=1e-13)
+
+    res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab,
+                          AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0],
+                                     num_iters=6, dtype=jnp.float64,
+                                     multi_rhs=True, head_size=4)).run()
+    np.testing.assert_allclose(r_dev.z, res_mem.z, rtol=1e-9, atol=1e-11)
+
+
+def test_streaming_callback_contract():
+    """The per-iteration callback receives host (z, u) whose u-deltas
+    reconstruct x exactly as the pipeline's write.train.output dump expects
+    (u_new = u_old + x - z), in BOTH consensus placements."""
+    rng = np.random.default_rng(12)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::3] for i in range(3)]
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    for dev_mode in (True, False):
+        cfg = AdmmConfig(flat_blocks=False, lambdas=[2.0], num_iters=3,
+                         dtype=jnp.float64, multi_rhs=False)
+        seen = []
+
+        def cb(iteration, z, u, diffs, inner_eps, logliks=None):
+            seen.append((iteration, np.asarray(z, np.float64).copy(),
+                         np.asarray(u, np.float64).copy()))
+
+        t = StreamingAdmmTrainer(groups, vocab, cfg,
+                                 consensus_device=dev_mode)
+        res = t.run(callback=cb)
+        assert [s[0] for s in seen] == list(range(1, res.iterations + 1))
+        # u telescopes: u_k = sum_i (x_i - z_i); final callback state == result
+        np.testing.assert_allclose(seen[-1][1], res.z, rtol=1e-12)
+        np.testing.assert_allclose(seen[-1][2], res.u, rtol=1e-12)
+        assert seen[-1][2].shape == (1, 3, vocab.size)
+
+
+def test_streaming_resume_matches_uninterrupted():
+    """z0/u0/start_iteration resume (the checkpoint contract) reproduces an
+    uninterrupted run exactly."""
+    rng = np.random.default_rng(14)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::2] for i in range(2)]
+    groups = [pack_blocks([b], vocab) for b in blocks]
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0], num_iters=6,
+                     dtype=jnp.float64, multi_rhs=False)
+    full = StreamingAdmmTrainer(groups, vocab, cfg).run()
+
+    cfg3 = AdmmConfig(flat_blocks=False, lambdas=[1.0], num_iters=3,
+                      dtype=jnp.float64, multi_rhs=False)
+    state = {}
+
+    def cb(iteration, z, u, diffs, inner_eps, logliks=None):
+        state.update(inner_eps=inner_eps, mindiff=float(diffs.min()))
+
+    part = StreamingAdmmTrainer(groups, vocab, cfg3).run(callback=cb)
+    resumed = StreamingAdmmTrainer(groups, vocab, cfg).run(
+        z0=part.z, u0=part.u, start_iteration=4,
+        inner_eps0=state["inner_eps"], mindiff0=state["mindiff"])
+    np.testing.assert_allclose(resumed.z, full.z, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(resumed.u, full.u, rtol=1e-9, atol=1e-12)

@@ -157,6 +157,7 @@ def main():
     base = points[0]["iter_s"]
     ncores = os.cpu_count() or 1
     on_cpu = jax.devices()[0].platform == "cpu"
+    over_base = max(points[0]["devices"] / ncores, 1.0)
     for p in points:
         # weak scaling: same per-device work, so efficiency = t1 / tN
         p["efficiency"] = round(base / p["iter_s"], 3)
@@ -164,20 +165,27 @@ def main():
             # the virtual mesh multiplexes all devices onto ncores physical
             # cores: past that point the host is compute-saturated and raw
             # efficiency just measures oversubscription (devices/ncores).
-            # Normalizing by the oversubscription factor isolates what the
-            # sharding/collective layout itself costs — 1.0 means iteration
-            # time grew exactly with total work, i.e. the layout added no
-            # super-linear communication overhead.
+            # Normalizing by the oversubscription growth RELATIVE TO THE
+            # BASE POINT (over_p / over_base — the base point is 1.0 by
+            # construction even when it already oversubscribes) isolates
+            # what the sharding/collective layout itself costs — 1.0 means
+            # iteration time grew exactly with total work, i.e. the layout
+            # added no super-linear communication overhead. This is a
+            # DIAGNOSTIC, not a weak-scaling efficiency: the published
+            # value and vs_baseline always use the raw efficiency.
             over = max(p["devices"] / ncores, 1.0)
             p["efficiency_core_normalized"] = round(
-                base / p["iter_s"] * over, 3)
-    val_key = "efficiency_core_normalized" if on_cpu else "efficiency"
+                base / p["iter_s"] * over / over_base, 3)
+    last = points[-1]
     print(json.dumps({"metric": f"weak_scaling_{args.mode}",
-                      "value": points[-1][val_key],
-                      "unit": f"{val_key} at {points[-1]['devices']} devices "
+                      "value": last["efficiency"],
+                      "unit": f"efficiency at {last['devices']} devices "
                               f"({jax.devices()[0].platform}, "
-                              f"{ncores} cores)",
-                      "vs_baseline": round(points[-1][val_key] / 0.8, 2),
+                              f"{ncores} cores"
+                              + (", raw; virtual-mesh oversubscription "
+                                 "diagnostic in detail" if on_cpu else "")
+                              + ")",
+                      "vs_baseline": round(last["efficiency"] / 0.8, 2),
                       "detail": {"points": points,
                                  "physical_cores": ncores}}))
 
