@@ -221,6 +221,242 @@ def decode(schema: Any, dec: BinaryDecoder, names: _NamedTypes) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Writer -> reader schema resolution (Avro spec "Schema Resolution")
+#
+# The reference's avro-mapred stack resolves the file's writer schema against
+# the job's declared reader schema (field reordering, defaults for missing
+# fields, numeric promotions, union re-matching) whenever a job sets an
+# explicit input schema (reference: AvroUtils.getAvroInputSchema,
+# src/main/java/com/linkedin/mapred/AvroUtils.java:197-215, applied via
+# AbstractAvroJob.java:283). decode_resolved() implements the same rules for
+# this from-scratch codec.
+# ---------------------------------------------------------------------------
+
+class SchemaResolutionError(SchemaParseError):
+    pass
+
+
+def skip_datum(schema: Any, dec: BinaryDecoder, names: _NamedTypes) -> None:
+    """Skip one datum of `schema` without materializing it (writer-only
+    record fields)."""
+    schema = names.resolve(schema)
+    t = _schema_type(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        dec.skip(1)
+    elif t in ("int", "long"):
+        dec.read_long()
+    elif t == "float":
+        dec.skip(4)
+    elif t == "double":
+        dec.skip(8)
+    elif t in ("bytes", "string"):
+        dec.skip(dec.read_long())
+    elif t == "union":
+        skip_datum(schema[dec.read_long()], dec, names)
+    elif t == "record":
+        for f in schema["fields"]:
+            skip_datum(f["type"], dec, names)
+    elif t == "array":
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                dec.skip(dec.read_long())   # block byte size: fast skip
+                continue
+            for _ in range(n):
+                skip_datum(schema["items"], dec, names)
+    elif t == "map":
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                dec.skip(dec.read_long())
+                continue
+            for _ in range(n):
+                dec.skip(dec.read_long())   # key
+                skip_datum(schema["values"], dec, names)
+    elif t == "enum":
+        dec.read_long()
+    elif t == "fixed":
+        dec.skip(schema["size"])
+    else:
+        raise SchemaParseError(f"unknown schema type: {t}")
+
+
+# numeric promotions the spec allows (writer type -> allowed reader types)
+_PROMOTIONS = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _plain_name(schema: Any) -> str | None:
+    if isinstance(schema, dict):
+        n = schema.get("name")
+        return n.rsplit(".", 1)[-1] if n else None
+    return None
+
+
+def _resolvable(w: Any, r: Any, w_names: _NamedTypes,
+                r_names: _NamedTypes) -> bool:
+    """Can writer schema w resolve against reader schema r? (Used for the
+    reader-union branch match; spec: the FIRST matching branch is used.)"""
+    w = w_names.resolve(w)
+    r = r_names.resolve(r)
+    wt, rt = _schema_type(w), _schema_type(r)
+    if wt == "union" or rt == "union":
+        return True  # defer to the recursive resolution
+    if wt == rt:
+        if wt in ("record", "enum", "fixed"):
+            wn, rn = _plain_name(w), _plain_name(r)
+            return wn is None or rn is None or wn == rn
+        return True
+    return rt in _PROMOTIONS.get(wt, ())
+
+
+def default_value(schema: Any, default: Any, names: _NamedTypes) -> Any:
+    """A reader field's JSON default -> runtime value (spec table: bytes and
+    fixed defaults are JSON strings of codepoints 0-255; union defaults
+    correspond to the FIRST branch)."""
+    schema = names.resolve(schema)
+    t = _schema_type(schema)
+    if t == "union":
+        return default_value(schema[0], default, names)
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "record":
+        out = {}
+        default = default or {}
+        for f in schema["fields"]:
+            if f["name"] in default:
+                out[f["name"]] = default_value(f["type"], default[f["name"]],
+                                               names)
+            elif "default" in f:
+                out[f["name"]] = default_value(f["type"], f["default"], names)
+            else:
+                raise SchemaResolutionError(
+                    f"no default for nested field {f['name']}")
+        return out
+    if t == "array":
+        return [default_value(schema["items"], d, names)
+                for d in (default or [])]
+    if t == "map":
+        return {k: default_value(schema["values"], v, names)
+                for k, v in (default or {}).items()}
+    if t in ("float", "double") and default is not None:
+        return float(default)
+    return default
+
+
+def decode_resolved(w_schema: Any, r_schema: Any, dec: BinaryDecoder,
+                    w_names: _NamedTypes, r_names: _NamedTypes) -> Any:
+    """Decode data written with w_schema as r_schema (Avro spec resolution:
+    record fields matched by name — writer-only fields skipped, reader-only
+    fields take their default — numeric/string promotions, union
+    re-matching, enum symbol lookup)."""
+    w = w_names.resolve(w_schema)
+    r = r_names.resolve(r_schema)
+    wt, rt = _schema_type(w), _schema_type(r)
+    if wt == "union":
+        return decode_resolved(w[dec.read_long()], r, dec, w_names, r_names)
+    if rt == "union":
+        for branch in r:
+            if _resolvable(w, branch, w_names, r_names):
+                return decode_resolved(w, branch, dec, w_names, r_names)
+        raise SchemaResolutionError(
+            f"writer type {wt} matches no reader union branch {r!r}")
+    if wt == rt and wt not in ("record", "enum", "fixed", "array", "map"):
+        return decode(w, dec, w_names)
+    if rt in _PROMOTIONS.get(wt, ()):
+        if wt in ("int", "long"):
+            v = dec.read_long()
+            return float(v) if rt in ("float", "double") else v
+        if wt == "float":
+            return dec.read_float()
+        if wt == "string":            # -> bytes
+            return dec.read_bytes()
+        if wt == "bytes":             # -> string
+            return dec.read_bytes().decode("utf-8")
+    if wt != rt:
+        raise SchemaResolutionError(
+            f"writer type {wt} does not resolve to reader type {rt}")
+    if wt == "record":
+        wn, rn = _plain_name(w), _plain_name(r)
+        if wn and rn and wn != rn:
+            raise SchemaResolutionError(f"record name mismatch {wn} != {rn}")
+        r_fields = {f["name"]: f for f in r["fields"]}
+        out = {}
+        seen = set()
+        for f in w["fields"]:
+            rf = r_fields.get(f["name"])
+            if rf is None:
+                skip_datum(f["type"], dec, w_names)
+            else:
+                out[f["name"]] = decode_resolved(f["type"], rf["type"], dec,
+                                                 w_names, r_names)
+                seen.add(f["name"])
+        for f in r["fields"]:
+            if f["name"] in seen:
+                continue
+            if "default" not in f:
+                raise SchemaResolutionError(
+                    f"reader field {f['name']} missing from writer schema "
+                    "and has no default")
+            out[f["name"]] = default_value(f["type"], f["default"], r_names)
+        # resolved records take the READER schema's field order (the wire is
+        # writer-ordered; avro-java's resolved GenericRecord is reader-shaped)
+        return {f["name"]: out[f["name"]] for f in r["fields"]}
+    if wt == "array":
+        out = []
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                dec.read_long()
+                n = -n
+            for _ in range(n):
+                out.append(decode_resolved(w["items"], r["items"], dec,
+                                           w_names, r_names))
+        return out
+    if wt == "map":
+        out = {}
+        while True:
+            n = dec.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                dec.read_long()
+                n = -n
+            for _ in range(n):
+                k = dec.read_string()
+                out[k] = decode_resolved(w["values"], r["values"], dec,
+                                         w_names, r_names)
+        return out
+    if wt == "enum":
+        sym = w["symbols"][dec.read_long()]
+        if sym not in r["symbols"]:
+            if "default" in r:       # enum default (Avro >= 1.9)
+                return r["default"]
+            raise SchemaResolutionError(
+                f"writer enum symbol {sym} not in reader symbols")
+        return sym
+    if wt == "fixed":
+        if w["size"] != r["size"]:
+            raise SchemaResolutionError(
+                f"fixed size mismatch {w['size']} != {r['size']}")
+        return dec.read_fixed(w["size"])
+    raise SchemaParseError(f"unknown schema type: {wt}")
+
+
+# ---------------------------------------------------------------------------
 # Binary encoder
 # ---------------------------------------------------------------------------
 
@@ -354,9 +590,15 @@ _META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
 class AvroFileReader:
-    """Streaming reader over an Avro object container file."""
+    """Streaming reader over an Avro object container file.
 
-    def __init__(self, fo: BinaryIO | str):
+    reader_schema (optional) enables writer->reader schema resolution: data
+    is decoded AS the reader schema (field reordering, defaults for fields
+    missing from the file, numeric promotions, union re-matching) — the
+    behavior the reference gets from avro-mapred when a job declares an
+    input schema (AvroUtils.java:197-215)."""
+
+    def __init__(self, fo: BinaryIO | str, reader_schema: Any = None):
         self._own = isinstance(fo, (str, os.PathLike))
         self._fo = open(fo, "rb") if self._own else fo
         magic = self._fo.read(4)
@@ -371,6 +613,11 @@ class AvroFileReader:
         self.schema = parse_schema(self.schema_json)
         self.names = _NamedTypes()
         self.names.collect(self.schema)
+        self.reader_schema = (parse_schema(reader_schema)
+                              if reader_schema is not None else None)
+        self.reader_names = _NamedTypes()
+        if self.reader_schema is not None:
+            self.reader_names.collect(self.reader_schema)
         self.sync = self._fo.read(SYNC_SIZE)
 
     def blocks(self) -> Iterator[tuple[int, bytes]]:
@@ -393,6 +640,13 @@ class AvroFileReader:
             yield count, payload
 
     def __iter__(self) -> Iterator[Any]:
+        if self.reader_schema is not None:
+            for count, payload in self.blocks():
+                dec = BinaryDecoder(payload)
+                for _ in range(count):
+                    yield decode_resolved(self.schema, self.reader_schema,
+                                          dec, self.names, self.reader_names)
+            return
         for count, payload in self.blocks():
             dec = BinaryDecoder(payload)
             for _ in range(count):
@@ -541,8 +795,9 @@ class AvroFileWriter:
         self.close()
 
 
-def read_records(path: str) -> list[Any]:
-    """Read all records of one Avro file (or every *.avro under a dir).
+def read_records(path: str, reader_schema: Any = None) -> list[Any]:
+    """Read all records of one Avro file (or every *.avro under a dir),
+    optionally resolved against a reader schema (see AvroFileReader).
 
     Directory traversal mirrors AvroUtils.enumerateFiles
     (src/main/java/com/linkedin/mapred/AvroUtils.java:89-133): files whose
@@ -550,7 +805,7 @@ def read_records(path: str) -> list[Any]:
     """
     out: list[Any] = []
     for p in enumerate_avro_files(path):
-        with AvroFileReader(p) as r:
+        with AvroFileReader(p, reader_schema=reader_schema) as r:
             out.extend(r)
     return out
 

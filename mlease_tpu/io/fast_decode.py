@@ -98,11 +98,27 @@ class DescriptorError(ValueError):
     pass
 
 
-def compile_descriptor(schema: Any, names, *, map_key: str = "") -> str:
-    """Top-level record schema -> C++ descriptor string."""
+def compile_descriptor(schema: Any, names, *, map_key: str = "",
+                       reader_fields: set[str] | None = None) -> str:
+    """Top-level record schema -> C++ descriptor string.
+
+    The descriptor always encodes the WRITER's binary layout (the file's
+    schema). reader_fields — the top-level field names of a declared reader
+    schema — implements the columnar slice of Avro schema resolution:
+    writer fields absent from the reader are demoted to '_' (decoded and
+    discarded, exactly what the resolved Python decode does by skipping
+    them), and reader-only role columns fall back to the C++ defaults
+    (weight 1.0 / offset 0.0 — the reader-field-default rule for the only
+    columns this decoder materializes). Numeric promotions need no handling:
+    role values convert to the column type whatever writer primitive the
+    descriptor encodes (native/avro_decode.cpp role stores)."""
     schema = names.resolve(schema)
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise DescriptorError("top-level schema must be a record")
+
+    def visible(fname: str) -> bool:
+        return reader_fields is None or fname in reader_fields
+
     # The Python path (records.get_response) applies per-record
     # click -> response -> label precedence with later non-null aliases
     # winning (Util.java:309-320). The native decoder has no per-record null
@@ -110,7 +126,8 @@ def compile_descriptor(schema: Any, names, *, map_key: str = "") -> str:
     # column in the schema. Zero aliases would silently train all-negative;
     # two or more could disagree with the Python path — both fall back.
     aliases = [f["name"] for f in schema["fields"]
-               if f["name"] in ("response", "click", "label")]
+               if f["name"] in ("response", "click", "label")
+               and visible(f["name"])]
     if len(aliases) != 1:
         raise DescriptorError(
             "need exactly one of response/click/label in the schema for "
@@ -118,7 +135,9 @@ def compile_descriptor(schema: Any, names, *, map_key: str = "") -> str:
     parts = [f"R{len(schema['fields'])};"]
     for f in schema["fields"]:
         fname = f["name"]
-        if fname in ("response", "click", "label"):
+        if not visible(fname):
+            role = "_"
+        elif fname in ("response", "click", "label"):
             role = "r"
         elif fname == "weight":
             role = "w"
@@ -194,24 +213,40 @@ class DecodedRows:
 
 
 def decode_file(path: str, *, ignore_value: bool = False,
-                map_key: str = "", nthreads: int = 0) -> DecodedRows:
+                map_key: str = "", nthreads: int = 0,
+                reader_schema=None) -> DecodedRows:
     """Decode one Avro container file natively. Raises RuntimeError if the
     native library is unavailable (check is_available() first).
 
     nthreads > 1 decodes container blocks with that many C++ worker threads
     (byte-balanced contiguous block ranges, serially merged — result is
     byte-identical to the sequential decode, including vocabulary id order);
-    0 picks an automatic width, 1 forces sequential."""
+    0 picks an automatic width, 1 forces sequential.
+
+    reader_schema declares the reading job's schema (the reference's
+    avro-mapred input-schema resolution, AvroUtils.java:197-215): writer
+    columns it omits are skipped, columns it adds fall back to the decoder's
+    defaults (weight 1.0, offset 0.0); promotions are native to the
+    columnar stores. Feature items must keep name/term/value (the
+    RegressionPrepareOutput contract) — evolve those via the Python codec."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder unavailable")
 
-    from mlease_tpu.io.avro import AvroFileReader
+    from mlease_tpu.io.avro import AvroFileReader, parse_schema
+
+    reader_fields = None
+    if reader_schema is not None:
+        rs = parse_schema(reader_schema)
+        if not (isinstance(rs, dict) and rs.get("type") == "record"):
+            raise DescriptorError("reader schema must be a record")
+        reader_fields = {f["name"] for f in rs.get("fields", [])}
 
     with open(path, "rb") as f:
         reader = AvroFileReader(f)
         desc = compile_descriptor(reader.schema, reader.names,
-                                  map_key=map_key)
+                                  map_key=map_key,
+                                  reader_fields=reader_fields)
         ctx = lib.mlease_ctx_new(desc.encode(), 1 if ignore_value else 0)
         if not ctx:
             raise RuntimeError(f"bad descriptor: {desc}")
