@@ -138,11 +138,18 @@ def _chip_peaks():
 
 
 def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
-                       nnz: int, seed: int = 0):
+                       nnz: int, seed: int = 0, block_shift: float = 0.0):
     """Directly materialize a BlockedData without per-row Python overhead.
 
     Power-law-ish column popularity mimics CTR data: a few hot features, a
     long tail. The intercept column (last index) is appended to every row.
+
+    block_shift > 0 makes the blocks HETEROGENEOUS: each block's labels are
+    drawn from w_true + block_shift * noise_b, so the per-block solutions
+    genuinely disagree and consensus ADMM must negotiate over iterations —
+    the convergence-measurement regime (with homogeneous blocks the one-shot
+    average is already the answer and every convergence metric reads as
+    hit_iter=1, measuring nothing).
     """
     from mlease_tpu.core.dataset import BlockedData
 
@@ -162,8 +169,15 @@ def synth_blocked_data(n_features: int, nblocks: int, rows_per_block: int,
 
     w_true = (rng.normal(size=n) * 0.3).astype(np.float32)
     w_true[icpt] = -1.5
-    scores = np.einsum("brk,brk->br", values,
-                       w_true[indices]).astype(np.float32)
+    if block_shift > 0:
+        w_blocks = (w_true[None, :]
+                    + block_shift * rng.normal(size=(B, n)).astype(np.float32))
+        w_blocks[:, icpt] = w_true[icpt]
+        gathered = w_blocks[np.arange(B)[:, None, None], indices]
+        scores = np.einsum("brk,brk->br", values, gathered).astype(np.float32)
+    else:
+        scores = np.einsum("brk,brk->br", values,
+                           w_true[indices]).astype(np.float32)
     p = 1.0 / (1.0 + np.exp(-scores))
     y = np.where(rng.random((B, R)) < p, 1.0, -1.0).astype(np.float32)
 
@@ -415,9 +429,79 @@ def bench_convergence():
     _emit(_RESULT)
 
 
-def _run_convergence(trainer=None):
-    """Train to convergence with per-iteration held-out loglik; report
-    wall-clock to within 1e-3 of the best loglik (BASELINE.json headline)."""
+def _solve_single_machine(data, lam_vec_LN, intercept_index, eps_rel=1e-6):
+    """The single-machine MAP solution per lambda lane: one tight multi-RHS
+    TRON solve over ALL blocks' rows pooled as one problem (prior N(0, 1/lam)
+    per feature, unpenalized intercept) — the ground truth the reference
+    claims ADMM approaches in 10-20 iterations (reference README.md:42
+    'theoretically close to what you would have obtained ... on a single
+    machine'). Returns (L, n) float64."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.ops import objective as obj
+    from mlease_tpu.ops.tron_multi import MultiProblem, tron_multi
+
+    from mlease_tpu.core.dataset import to_hybrid
+
+    B, R, K = data.indices.shape
+    n = data.dim
+    pvi = np.asarray(lam_vec_LN, np.float32).T.copy()     # (n, L)
+    L = pvi.shape[1]
+    if intercept_index is not None:
+        pvi[intercept_index, :] = 0.0                     # unpenalized
+    # pool all blocks into ONE problem, in the hybrid dense-head layout:
+    # the plain ELL path materializes an (R, K, L) intermediate that XLA
+    # lane-pads L=3 -> 128 (42x, OOM at 1M rows); the head matmul + flat
+    # (T, L) tails are the trainer's own memory-proven path
+    pooled = data._replace(
+        indices=data.indices.reshape(1, B * R, K),
+        values=data.values.reshape(1, B * R, K),
+        y=data.y.reshape(1, -1), weight=data.weight.reshape(1, -1),
+        offset=data.offset.reshape(1, -1),
+        present=np.any(data.present, axis=0, keepdims=True),
+        nrows=np.asarray([B * R], np.int32), nblocks=1)
+    hyb = to_hybrid(pooled, int(os.environ.get("BENCH_HEAD", "512")))
+    y = hyb.y[0]
+    prob = MultiProblem(
+        indices=jnp.asarray(hyb.indices[0]),
+        values=jnp.asarray(hyb.values[0], jnp.float32),
+        y=jnp.asarray(y, jnp.float32),
+        weight=jnp.asarray(hyb.weight[0], jnp.float32),
+        offset=jnp.asarray(hyb.offset[0], jnp.float32),
+        prior_mean=jnp.zeros((n, L), jnp.float32),
+        prior_var_inv=jnp.asarray(pvi),
+        head_x=jnp.asarray(hyb.head[0], jnp.float32),
+        head_ids=jnp.asarray(hyb.head_ids),
+        tail_rows=jnp.asarray(hyb.tail_rows[0]),
+        tail_cols=jnp.asarray(hyb.tail_cols[0]),
+        tail_vals=jnp.asarray(hyb.tail_vals[0], jnp.float32),
+        tail_c_rows=jnp.asarray(hyb.tail_c_rows[0]),
+        tail_c_cols=jnp.asarray(hyb.tail_c_cols[0]),
+        tail_c_vals=jnp.asarray(hyb.tail_c_vals[0], jnp.float32))
+    scale = float(obj.class_balance_eps_scale(
+        np.asarray(y)[None, :], np.asarray([B * R]))[0])
+    res = tron_multi(prob, jnp.zeros((n, L), jnp.float32),
+                     jnp.asarray(eps_rel * scale, jnp.float32),
+                     max_iter=200, max_cg_iter=500, precondition=True)
+    return np.asarray(res.w, np.float64).T                # (L, n)
+
+
+def _run_convergence():
+    """Convergence-to-tolerance artifact on HETEROGENEOUS blocks (per-block
+    label distributions disagree, so consensus genuinely iterates). Reports:
+
+      * iterations/wall to the reference's ACTUAL stopping rule
+        (max|dz| < epsilon=1e-4 AND inner_eps <= 1e-5,
+        RegressionAdmmTrain.java:473,493-496) via the fused on-device loop;
+      * per-iteration ||z - z_single||_inf against a tight single-machine
+        solve of the pooled data — the reference's '10-20 iterations ...
+        close to the single-machine solution' claim (README.md:42), with
+        iters_to_single_1e2 = first iteration every lane is within 1e-2;
+      * wall-clock to within 1e-3 of the best held-out loglik (the
+        BASELINE.json headline).
+
+    Env: BENCH_CONV_ITERS (cap, default 60), BENCH_HETERO (block shift,
+    default 0.3), plus the usual shape knobs."""
     global _PHASE
     import jax
     import jax.numpy as jnp
@@ -428,35 +512,74 @@ def _run_convergence(trainer=None):
     nblocks = int(os.environ.get("BENCH_BLOCKS", 4))
     rows = int(os.environ.get("BENCH_ROWS", 16_384))
     nnz = int(os.environ.get("BENCH_NNZ", 15))
-    iters = int(os.environ.get("BENCH_CONV_ITERS", 20))
+    iters = int(os.environ.get("BENCH_CONV_ITERS", 300))
+    hetero = float(os.environ.get("BENCH_HETERO", "0.3"))
 
     _PHASE = "convergence-setup"
-    if trainer is None:
-        data, _ = synth_blocked_data(n_features, nblocks, rows, nnz)
-        vocab = _make_vocab(n_features)
-        cfg = AdmmConfig(lambdas=[1.0, 10.0, 100.0], num_iters=iters,
-                         regularizer=2, test_loglik_per_iter=True,
-                         head_size=int(os.environ.get("BENCH_HEAD", "512")),
-                         dtype=jnp.float32)
-        trainer = AdmmTrainer(data, vocab, cfg)
-    else:
-        trainer.config.num_iters = iters
-        trainer.config.test_loglik_per_iter = True
-
-    test, _ = synth_blocked_data(n_features, 1, 8192, nnz, seed=1)
+    # train + held-out rows from the SAME per-block mixture: generate extra
+    # rows per block and slice them off as the test set
+    test_per_block = max(2048 // nblocks, 256)
+    full, _ = synth_blocked_data(n_features, nblocks, rows + test_per_block,
+                                 nnz, block_shift=hetero)
+    tr_idx = full.indices[:, :rows]
+    present = np.zeros((nblocks, full.dim), dtype=bool)
+    for b in range(nblocks):
+        present[b, np.unique(tr_idx[b])] = True
+    data = full._replace(
+        indices=tr_idx, values=full.values[:, :rows], y=full.y[:, :rows],
+        weight=full.weight[:, :rows], offset=full.offset[:, :rows],
+        present=present, nrows=np.full(nblocks, rows, np.int32))
+    K = full.indices.shape[2]
+    test = (full.indices[:, rows:].reshape(-1, K),
+            full.values[:, rows:].reshape(-1, K),
+            full.y[:, rows:].reshape(-1), full.weight[:, rows:].reshape(-1),
+            full.offset[:, rows:].reshape(-1))
+    vocab = _make_vocab(n_features)
+    rho_env = os.environ.get("BENCH_RHO", "")
+    rhos = [float(rho_env)] * 3 if rho_env else None
+    cfg = AdmmConfig(lambdas=[1.0, 10.0, 100.0], rhos=rhos, num_iters=iters,
+                     regularizer=2, test_loglik_per_iter=True,
+                     head_size=int(os.environ.get("BENCH_HEAD", "512")),
+                     aggressive_liblinear_epsilon_decay=(
+                         os.environ.get("BENCH_AGGRESSIVE_EPS") == "1"),
+                     dtype=jnp.float32)
+    trainer = AdmmTrainer(data, vocab, cfg)
     trainer.test_arrays = (
-        jnp.asarray(test.indices[0]), jnp.asarray(test.values[0], jnp.float32),
-        jnp.asarray(test.y[0], jnp.float32),
-        jnp.asarray(test.weight[0], jnp.float32),
-        jnp.asarray(test.offset[0], jnp.float32))
+        jnp.asarray(test[0]), jnp.asarray(test[1], jnp.float32),
+        jnp.asarray(test[2], jnp.float32), jnp.asarray(test[3], jnp.float32),
+        jnp.asarray(test[4], jnp.float32))
     trainer.loglik_fn = build_loglik_fn()
 
-    _PHASE = "convergence-run"
+    _PHASE = "convergence-single-solve"
     _finish_device_acquire()
+    z_single = _solve_single_machine(data, np.asarray(trainer.lam_vec),
+                                     vocab.intercept_index)
+
+    _PHASE = "convergence-run"
+    traj_iters = []         # iteration number of each tracked point
+    vs_single = []          # per tracked point: (L,) ||z - z_single||_inf
+    vs_single_rel2 = []     # per tracked point: (L,) ||z - z*||_2 / ||z*||_2
+    zs_norm = np.linalg.norm(z_single, axis=1)
+
+    def track(iteration, z, u, diffs, inner_eps, logliks=None):
+        dz = np.asarray(z, np.float64) - z_single
+        traj_iters.append(int(iteration))
+        vs_single.append(np.max(np.abs(dz), axis=1))
+        vs_single_rel2.append(np.linalg.norm(dz, axis=1) / zs_norm)
+
     t0 = time.monotonic()
-    # fused on-device driver loop: one dispatch/fetch for the whole run
-    # (semantics identical to the host loop — tests/test_admm.py)
-    result = trainer.run_fused()
+    # fused on-device driver loop, paused every BENCH_CONV_TRAJ iterations
+    # to fetch z for the vs-single trajectory (the pause tax is excluded
+    # from the headline iter/s, which the steady-state section measures).
+    # BENCH_CONV_TRAJ=0 runs unchunked (one dispatch, no fetches) and
+    # records only the final distance — the fast mode for shape sweeps.
+    traj_every = int(os.environ.get("BENCH_CONV_TRAJ", "5"))
+    if traj_every == 0:
+        result = trainer.run_fused()
+        track(result.iterations, result.z, None, None, None)
+    else:
+        result = trainer.run_fused(checkpoint_every=traj_every,
+                                   callback=track)
     wall = time.monotonic() - t0
 
     best = result.best_loglik
@@ -468,19 +591,87 @@ def _run_convergence(trainer=None):
             break
     time_to_target = (sum(result.iter_times[:hit_iter])
                       if hit_iter else wall)
+    iters_to_single = next(
+        (it for it, d in zip(traj_iters, vs_single)
+         if float(d.max()) <= 1e-2), None)
+    # the reference's README.md:42 claim, quantified: after 10-20 iterations
+    # z has closed most of its initial distance to the single-machine
+    # solution (closeness_at_20 = fraction of ||z0 - z_single||_inf closed)
+    d0 = float(vs_single[0].max()) if vs_single else None
+    i20 = (max((i for i, it in enumerate(traj_iters) if it <= 20),
+               default=len(vs_single) - 1) if vs_single else 0)
+    d20 = float(vs_single[i20].max()) if vs_single else None
+    ll_single = trainer.sample_loglik(
+        jnp.asarray(z_single, jnp.float32))        # held-out loglik at z*
+    ll_final = trainer.sample_loglik(
+        jnp.asarray(result.z, jnp.float32))
+    # prediction-space convergence to the single-machine solution — the
+    # operational meaning of the reference's "after 10-20 iterations ...
+    # close to what you would have obtained on a single machine"
+    # (reference README.md:42): first iteration each lane's held-out loglik
+    # is within tol of the single-machine solution's, per lane then max'd.
+    # (z-space inf-norm is dominated by rare low-curvature coordinates that
+    # ADMM moves slowly and that do not affect predictions — reported below
+    # as supporting data, not the headline.)
+    from mlease_tpu.train.admm import _lambda_key
+    ll_by_iter: dict[int, dict[int, float]] = {}
+    lam_idx = {_lambda_key(l): i for i, l in enumerate(trainer.lambdas)}
+    for e in result.sample_loglik_history:
+        li = lam_idx.get(e["lambda"])
+        if li is not None and e["iter"] >= 1:
+            ll_by_iter.setdefault(e["iter"], {})[li] = e["testLoglik"]
+
+    def iters_to_ll(tol):
+        out = []
+        for li in range(len(trainer.lambdas)):
+            hit = next((it for it in sorted(ll_by_iter)
+                        if li in ll_by_iter[it]
+                        and ll_by_iter[it][li] >= float(ll_single[li]) - tol),
+                       None)
+            out.append(hit)
+        return out
+
+    to_single_1e3 = iters_to_ll(1e-3)
+    to_single_1e4 = iters_to_ll(1e-4)
     return {
         "time_to_target_s": round(time_to_target, 2),
         "unit": (f"s to within 1e-3 of best held-out loglik {best:.4f} "
-                 f"(3-lambda path, {nblocks * rows} rows x {n_features} "
-                 f"features, {jax.devices()[0].platform}, compile excluded)"),
+                 f"(3-lambda path, {nblocks * rows} heterogeneous rows x "
+                 f"{n_features} features, block_shift={hetero}, "
+                 f"{jax.devices()[0].platform}, compile excluded)"),
         "vs_baseline": round((30.0 * (hit_iter or result.iterations))
                              / max(time_to_target, 1e-9), 1),
         "hit_iter": hit_iter, "iterations": result.iterations,
+        "converged_to_reference_stop": bool(result.converged),
+        "reference_stop": "max|dz|<1e-4 AND inner_eps<=1e-5 "
+                          "(RegressionAdmmTrain.java:473,493-496)",
+        # headline convergence-to-single-machine artifact: held-out loglik
+        # of the consensus z reaches the single-machine solution's loglik
+        # (per lane; the reference's README.md:42 claim is that this takes
+        # 10-20 iterations)
+        "iters_to_single_loglik_1e3": to_single_1e3,
+        "iters_to_single_loglik_1e4": to_single_1e4,
+        "holdout_loglik_single_machine": [round(float(v), 6)
+                                          for v in ll_single],
+        "holdout_loglik_final": [round(float(v), 6) for v in ll_final],
+        # z-space supporting data (inf-norm is rare-coordinate-dominated)
+        "iters_to_single_1e2": iters_to_single,
+        "z_vs_single_inf_at_20": d20,
+        "closeness_at_20": (round(1.0 - d20 / d0, 4)
+                            if d0 else None),
+        "z_vs_single_inf_final": ([round(float(d), 6) for d in vs_single[-1]]
+                                  if vs_single else None),
+        "traj_iters": traj_iters,
+        "z_vs_single_inf_traj": [round(float(d.max()), 5)
+                                 for d in vs_single],
+        "z_vs_single_rel2_traj": [round(float(d.max()), 5)
+                                  for d in vs_single_rel2],
         "best_loglik": round(best, 5),
         "run_wall_s": round(result.wall_time, 2),
         "compile_s": round(result.compile_time, 2),
         "total_wall_s": round(wall, 2),
-        "iter_times_s": [round(t, 3) for t in result.iter_times],
+        "mean_iter_s": round(result.wall_time
+                             / max(result.iterations, 1), 4),
     }
 
 
@@ -646,9 +837,112 @@ def bench_admm():
     # fold the convergence headline in (reuses the already-compiled step)
     if os.environ.get("BENCH_SKIP_CONV") != "1":
         try:
-            _RESULT["detail"]["convergence"] = _run_convergence(trainer)
+            _RESULT["detail"]["convergence"] = _run_convergence()
         except Exception as e:  # noqa: BLE001 — keep the steady result
             _RESULT["detail"]["convergence"] = {"error": repr(e)}
+    _emit(_RESULT)
+
+
+def bench_itemtest():
+    """BENCH_MODE=itemtest: per-item scoring at scale — 10K per-item models
+    scored over 100K test rows with hash-sharded model loading, the
+    vectorized re-design of the reference's per-reducer flow
+    (ItemModelTest.java:136-212: each reducer loads hash(item)%n of the
+    models and scores its shuffle partition row-by-row). Reports rows/s
+    end-to-end (model streaming + sharded scoring + Avro output) plus a
+    scoring-only number in detail."""
+    global _RESULT, _PHASE
+    import tempfile
+
+    from mlease_tpu.core.linear_model import LinearModel, write_model_file
+    from mlease_tpu.eval.item_score import (run_item_model_test_sharded,
+                                            score_item_batch,
+                                            read_model_file_sharded,
+                                            item_shard)
+    from mlease_tpu.io.records import normalize_row
+
+    n_items = int(os.environ.get("BENCH_ITEMS", 10_000))
+    n_rows = int(os.environ.get("BENCH_ITEMTEST_ROWS", 100_000))
+    n_feat = int(os.environ.get("BENCH_ITEM_FEATURES", 200))
+    coefs_per_model = 20
+    nnz = 10
+    nshards = int(os.environ.get("BENCH_ITEM_SHARDS", 8))
+    prefix = "1.0:10.0"
+
+    _PHASE = "itemtest-datagen"
+    rng = np.random.default_rng(0)
+    feat_names = [f"f{j}" for j in range(n_feat)]
+    tmp = tempfile.mkdtemp(prefix="mlease_itemtest_")
+    model_path = os.path.join(tmp, "models.avro")
+    models = {}
+    cols = rng.integers(0, n_feat, size=(n_items, coefs_per_model))
+    cvals = rng.normal(size=(n_items, coefs_per_model)) * 0.3
+    for i in range(n_items):
+        coeffs = {feat_names[c]: float(v)
+                  for c, v in zip(cols[i], cvals[i])}
+        models[f"{prefix}#item{i}"] = LinearModel(
+            intercept=float(rng.normal() * 0.5), coefficients=coeffs)
+    write_model_file(model_path, models)
+
+    rcols = rng.integers(0, n_feat, size=(n_rows, nnz))
+    rvals = rng.normal(size=(n_rows, nnz)).astype(np.float32)
+    ritems = rng.integers(0, n_items, size=n_rows)
+    records = [{
+        "itemKey": f"item{ritems[i]}", "response": int(i % 2),
+        "weight": 1.0, "offset": 0.0,
+        "features": [{"name": feat_names[c], "term": "", "value": float(v)}
+                     for c, v in zip(rcols[i], rvals[i])]}
+        for i in range(n_rows)]
+    input_schema = {"type": "record", "name": "Row", "fields": [
+        {"name": "itemKey", "type": "string"},
+        {"name": "response", "type": "int"},
+        {"name": "weight", "type": "float"},
+        {"name": "offset", "type": "float"},
+        {"name": "features", "type": {"type": "array", "items": {
+            "type": "record", "name": "Feat", "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "term", "type": "string"},
+                {"name": "value", "type": "float"}]}}}]}
+
+    _PHASE = "itemtest-run"
+    _finish_device_acquire()
+    out_path = os.path.join(tmp, "scored.avro")
+    t0 = time.monotonic()
+    scored = run_item_model_test_sharded(
+        records, input_schema, model_path, out_path, item_key="itemKey",
+        model_prefixes=[prefix], nshards=nshards)
+    e2e_s = time.monotonic() - t0
+    assert len(scored) == n_rows
+
+    # scoring-only (models pre-loaded per shard, no Avro read/write): the
+    # hot path a long-running scorer amortizes to
+    _PHASE = "itemtest-score-only"
+    rows_n = [normalize_row(r) for r in records]
+    shards = np.asarray([item_shard(r["itemKey"], nshards) for r in records])
+    shard_models = [read_model_file_sharded(model_path, shard=k,
+                                            nshards=nshards)
+                    for k in range(nshards)]
+    t0 = time.monotonic()
+    for k in range(nshards):
+        sel = np.nonzero(shards == k)[0]
+        if len(sel):
+            score_item_batch(shard_models[k], [rows_n[i] for i in sel],
+                             [records[i]["itemKey"] for i in sel], [prefix])
+    score_s = time.monotonic() - t0
+
+    _RESULT = {
+        "metric": "itemtest_rows_per_s",
+        "value": round(n_rows / e2e_s, 0),
+        "unit": (f"rows/s end-to-end ({n_items} per-item models, {n_rows} "
+                 f"rows, {nshards} hash shards, incl. model streaming + "
+                 f"Avro output)"),
+        # reference floor: one MR job round (~30 s) for the same scoring
+        "vs_baseline": round(30.0 / e2e_s, 2),
+        "detail": {"e2e_s": round(e2e_s, 2),
+                   "scoring_only_s": round(score_s, 2),
+                   "scoring_only_rows_per_s": round(n_rows / score_s, 0),
+                   "items": n_items, "rows": n_rows, "nshards": nshards},
+    }
     _emit(_RESULT)
 
 
@@ -817,6 +1111,8 @@ def main():
         return bench_ingest()
     if mode == "streaming":
         return bench_streaming()
+    if mode == "itemtest":
+        return bench_itemtest()
     return bench_admm()
 
 
