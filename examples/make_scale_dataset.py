@@ -66,8 +66,15 @@ def _w_true():
 
 
 def _write_part(path: str, n_rows: int, seed: int, report: bool = False):
-    """One writer process: vectorized chunk synthesis, row-at-a-time append
-    (the Python encoder is the throughput ceiling, ~18K rows/s/core)."""
+    """One writer process: vectorized chunk synthesis; encoding through the
+    native block encoder when available (~2.3M rows/s/core,
+    native/avro_encode.cpp — byte-identical container output), else the
+    per-row Python encoder (~18K rows/s/core)."""
+    try:
+        from mlease_tpu.io import fast_encode
+        native = fast_encode.is_available()
+    except Exception:  # pragma: no cover - import/packaging issues
+        native = False
     rng = np.random.default_rng(seed)
     w = _w_true()
     t0 = time.time()
@@ -81,13 +88,22 @@ def _write_part(path: str, n_rows: int, seed: int, report: bool = False):
             vals = (rng.normal(size=(m, NNZ)) * 0.5).astype(np.float32)
             score = np.einsum("rk,rk->r", vals, w[cols]) + INTERCEPT_TRUE
             y = (rng.random(m) < 1.0 / (1.0 + np.exp(-score))).astype(int)
-            names = np.char.add("f", cols.astype("U7"))
-            for i in range(m):
-                out.append({
-                    "response": int(y[i]), "weight": 1.0, "offset": 0.0,
-                    "features": [
-                        {"name": names[i, k], "term": "",
-                         "value": float(vals[i, k])} for k in range(NNZ)]})
+            if native:
+                for s in range(0, m, 4000):
+                    blk = slice(s, min(s + 4000, m))
+                    out.append_raw_block(
+                        fast_encode.encode_ctr_block(
+                            cols[blk].astype(np.int32), vals[blk],
+                            y[blk].astype(np.int32)),
+                        min(s + 4000, m) - s)
+            else:
+                names = np.char.add("f", cols.astype("U7"))
+                for i in range(m):
+                    out.append({
+                        "response": int(y[i]), "weight": 1.0, "offset": 0.0,
+                        "features": [
+                            {"name": names[i, k], "term": "",
+                             "value": float(vals[i, k])} for k in range(NNZ)]})
             done += m
             if report:
                 rate = done / (time.time() - t0)

@@ -781,6 +781,25 @@ class AvroFileWriter:
         self._buf = BinaryEncoder()
         self._count = 0
 
+    def append_raw_block(self, payload: bytes, count: int) -> None:
+        """Write one pre-encoded binary block: `count` records already
+        encoded back-to-back with this file's writer schema (e.g. by the
+        native encoder, native/avro_encode.cpp). Buffered appends are
+        flushed first so record order is preserved; the file's codec applies
+        to the raw payload like any other block."""
+        if count <= 0:
+            return
+        self.flush_block()
+        if self.codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        enc = BinaryEncoder()
+        enc.write_long(count)
+        enc.write_long(len(payload))
+        enc.write_raw(payload)
+        enc.write_raw(self.sync)
+        self._fo.write(enc.getvalue())
+
     def close(self) -> None:
         self.flush_block()
         if self._own:

@@ -162,3 +162,49 @@ def test_multi_file_ingest(tmp_path, sample_data_path):
     np.testing.assert_array_equal(data_two.indices, data_one.indices)
     np.testing.assert_allclose(data_two.values, data_one.values, atol=1e-7)
     np.testing.assert_array_equal(data_two.y, data_one.y)
+
+
+def test_native_encoder_byte_parity(tmp_path):
+    """native/avro_encode.cpp block payloads must be byte-identical to the
+    Python encoder's for the same rows, and round-trip through BOTH
+    decoders (the scale-dataset generator writes with this path)."""
+    from mlease_tpu.io import fast_encode
+
+    if not fast_encode.is_available():
+        pytest.skip("native encoder not built")
+    from examples.make_scale_dataset import SCHEMA
+
+    rng = np.random.default_rng(3)
+    m, k = 120, 7
+    cols = rng.integers(0, 10 ** 6, size=(m, k)).astype(np.int32)
+    vals = rng.normal(size=(m, k)).astype(np.float32)
+    y = rng.integers(0, 2, size=m).astype(np.int32)
+    w = rng.random(m).astype(np.float32)
+    off = (rng.random(m) * 0.25).astype(np.float32)
+
+    import io as _io
+    native_buf, py_buf = _io.BytesIO(), _io.BytesIO()
+    with avro.AvroFileWriter(native_buf, SCHEMA, codec="null") as wtr:
+        wtr.append_raw_block(
+            fast_encode.encode_ctr_block(cols, vals, y, w, off), m)
+    with avro.AvroFileWriter(py_buf, SCHEMA, codec="null",
+                             block_records=m) as wtr:
+        for i in range(m):
+            wtr.append({
+                "response": int(y[i]), "weight": float(w[i]),
+                "offset": float(off[i]),
+                "features": [{"name": f"f{cols[i, j]}", "term": "",
+                              "value": float(vals[i, j])}
+                             for j in range(k)]})
+    assert native_buf.getvalue() == py_buf.getvalue()
+
+    # defaults (weight=None/offset=None -> 1.0/0.0) + native decoder
+    path = str(tmp_path / "enc.avro")
+    with avro.AvroFileWriter(path, SCHEMA, codec="null") as wtr:
+        wtr.append_raw_block(fast_encode.encode_ctr_block(cols, vals, y), m)
+    dec = fast_decode.decode_file(path)
+    assert dec.num_rows == m
+    assert np.all(dec.weight == 1.0) and np.all(dec.offset == 0.0)
+    np.testing.assert_array_equal(dec.response, y)
+    np.testing.assert_allclose(dec.feat_val, vals.reshape(-1), atol=1e-6)
+    assert dec.vocab_names[dec.feat_id[5]] == f"f{cols[0, 5]}"
