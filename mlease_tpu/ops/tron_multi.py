@@ -348,6 +348,207 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Lanes-major internals (round-3 layout fix)
+#
+# The solver STATE (W, G, CG's s/r/z/d, the Jacobi M) used to live lanes-
+# minor, (n, L) with L≈3: TPU HBM tiling T(8,128) pads the minor dim to 128
+# lanes, so every state op moved ~42x its useful bytes. A device profile of
+# the production iteration showed those loop fusions running at ~20 GB/s
+# USEFUL bandwidth (≈850 GB/s physical — all padding), ~2.4 ms of the
+# 6.4 ms CG trip. Lanes-major (L, n) pads only 8/L≈2.7x; the sparse tail
+# passes are gather-bound and measured layout-insensitive
+# (tools/lane_layout_probe.py: vmap-over-L parity with lanes-minor, flat
+# offset-id form 5x slower), so the whole solve now runs lanes-major
+# internally. The public contract is unchanged — (n, L) in, (n, L) out,
+# one boundary transpose per SOLVE, not per trip. The lanes-minor pass
+# functions above are kept for probes/microbenches and callers.
+# ---------------------------------------------------------------------------
+
+def _xv_lm(prob: MultiProblem, V: jax.Array,
+           axis_name: str | None = None) -> jax.Array:
+    """(L, n) -> (L, R) scores, lanes-major (prob priors also lanes-major)."""
+    R = prob.y.shape[0]
+    L = V.shape[0]
+    if prob.indices.shape[-1] > 0:
+        out = jax.vmap(
+            lambda v: jnp.sum(prob.values * v[prob.indices], axis=-1))(V)
+    else:
+        out = jnp.zeros((L, R), dtype=V.dtype)
+    if prob.head_x is not None:
+        hw = V[:, prob.head_ids]                    # (L, H) | (L, B*H)
+        if prob.head_x.ndim == 3:                   # flat-blocks head
+            B, Rb, H = prob.head_x.shape
+            out = out + jnp.einsum(
+                "lbh,brh->lbr", hw.reshape(L, B, H), prob.head_x,
+                preferred_element_type=V.dtype,
+                precision=jax.lax.Precision.HIGHEST).reshape(L, R)
+        else:
+            out = out + jnp.einsum(
+                "lh,rh->lr", hw, prob.head_x,
+                preferred_element_type=V.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    if prob.tail_cols is not None:
+        def one(v):
+            return jax.ops.segment_sum(prob.tail_vals * v[prob.tail_cols],
+                                       prob.tail_rows, num_segments=R,
+                                       indices_are_sorted=True)
+        out = out + jax.vmap(one)(V)
+    return _psum(out, axis_name)
+
+
+def _xtv_lm(prob: MultiProblem, D: jax.Array) -> jax.Array:
+    """(L, R) -> (L, n) accumulation, lanes-major."""
+    n = prob.prior_mean.shape[-1]
+    L = D.shape[0]
+    out = jnp.zeros((L, n), dtype=D.dtype)
+    if prob.indices.shape[-1] > 0:
+        flat_idx = prob.indices.reshape(-1)
+
+        def one(d):
+            return jnp.zeros(n, d.dtype).at[flat_idx].add(
+                (prob.values * d[:, None]).reshape(-1))
+        out = out + jax.vmap(one)(D)
+    if prob.head_x is not None:
+        if prob.head_x.ndim == 3:                   # flat-blocks head
+            B, Rb, H = prob.head_x.shape
+            contrib = jnp.einsum(
+                "brh,lbr->lbh", prob.head_x, D.reshape(L, B, Rb),
+                preferred_element_type=D.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            out = out.at[:, prob.head_ids].add(contrib.reshape(L, B * H))
+        else:
+            out = out.at[:, prob.head_ids].add(jnp.einsum(
+                "rh,lr->lh", prob.head_x, D,
+                preferred_element_type=D.dtype,
+                precision=jax.lax.Precision.HIGHEST))
+    if prob.tail_c_cols is not None:
+        def one_t(d):
+            return jax.ops.segment_sum(prob.tail_c_vals * d[prob.tail_c_rows],
+                                       prob.tail_c_cols, num_segments=n,
+                                       indices_are_sorted=True)
+        out = out + jax.vmap(one_t)(D)
+    elif prob.tail_cols is not None:
+        def one_s(d):
+            return jnp.zeros(n, d.dtype).at[prob.tail_cols].add(
+                prob.tail_vals * d[prob.tail_rows])
+        out = out + jax.vmap(one_s)(D)
+    return out
+
+
+def _xtv_and_sqdiag_lm(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
+    """Lanes-major (X'C, (X∘X)'Dm): stacks the 2L lanes so indices/values
+    are read once per nonzero (same trick as xtv_and_sqdiag)."""
+    n = prob.prior_mean.shape[-1]
+    L = C.shape[0]
+    out = jnp.zeros((2 * L, n), dtype=C.dtype)
+    if prob.indices.shape[-1] > 0:
+        flat_idx = prob.indices.reshape(-1)
+        v = prob.values
+        vv = v * v
+
+        def one(d_and_sq):
+            d, use_sq = d_and_sq
+            vals = jnp.where(use_sq, vv, v)
+            return jnp.zeros(n, d.dtype).at[flat_idx].add(
+                (vals * d[:, None]).reshape(-1))
+        sel = jnp.concatenate([jnp.zeros(L, bool), jnp.ones(L, bool)])
+        out = out + jax.vmap(one)((jnp.concatenate([C, Dm], axis=0), sel))
+    if prob.head_x is not None:
+        if prob.head_x.ndim == 3:                   # flat-blocks head
+            B, Rb, H = prob.head_x.shape
+            gh = jnp.einsum("brh,lbr->lbh", prob.head_x,
+                            C.reshape(L, B, Rb),
+                            preferred_element_type=C.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            dh = jnp.einsum("brh,lbr->lbh", prob.head_x * prob.head_x,
+                            Dm.reshape(L, B, Rb),
+                            preferred_element_type=Dm.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            out = out.at[:, prob.head_ids].add(
+                jnp.concatenate([gh.reshape(L, B * H),
+                                 dh.reshape(L, B * H)], axis=0))
+        else:
+            gh = jnp.einsum("rh,lr->lh", prob.head_x, C,
+                            preferred_element_type=C.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            dh = jnp.einsum("rh,lr->lh", prob.head_x * prob.head_x, Dm,
+                            preferred_element_type=Dm.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            out = out.at[:, prob.head_ids].add(
+                jnp.concatenate([gh, dh], axis=0))
+    if prob.tail_c_cols is not None:
+        tv = prob.tail_c_vals
+        tvv = tv * tv
+
+        def one_t(d_and_sq):
+            d, use_sq = d_and_sq
+            vals = jnp.where(use_sq, tvv, tv)
+            return jax.ops.segment_sum(vals * d[prob.tail_c_rows],
+                                       prob.tail_c_cols, num_segments=n,
+                                       indices_are_sorted=True)
+        sel = jnp.concatenate([jnp.zeros(L, bool), jnp.ones(L, bool)])
+        out = out + jax.vmap(one_t)((jnp.concatenate([C, Dm], axis=0), sel))
+    elif prob.tail_cols is not None:
+        tv = prob.tail_vals
+        tvv = tv * tv
+
+        def one_s(d_and_sq):
+            d, use_sq = d_and_sq
+            vals = jnp.where(use_sq, tvv, tv)
+            return jnp.zeros(n, d.dtype).at[prob.tail_cols].add(
+                vals * d[prob.tail_rows])
+        sel = jnp.concatenate([jnp.zeros(L, bool), jnp.ones(L, bool)])
+        out = out + jax.vmap(one_s)((jnp.concatenate([C, Dm], axis=0), sel))
+    return out[:L], out[L:]
+
+
+def _fun_grad_curvature_lm(prob: MultiProblem, W: jax.Array,
+                           with_diag: bool = False,
+                           axis_name: str | None = None):
+    """Lanes-major f/g/D(+diag); prob.prior_mean/prior_var_inv are (L, n)."""
+    yz = prob.y[None, :] * (_xv_lm(prob, W, axis_name)
+                            + prob.offset[None, :])
+    dw = W - prob.prior_mean
+    F = (jnp.sum(prob.weight[None, :] * jnp.logaddexp(0.0, -yz), axis=1)
+         + _psum(0.5 * jnp.sum(dw * dw * prob.prior_var_inv, axis=1),
+                 axis_name))
+    p = jax.nn.sigmoid(yz)
+    coeff = prob.weight[None, :] * (p - 1.0) * prob.y[None, :]
+    Dm = prob.weight[None, :] * p * (1.0 - p)
+    if with_diag:
+        Gd, Hd = _xtv_and_sqdiag_lm(prob, coeff, Dm)
+        return (F, Gd + dw * prob.prior_var_inv, Dm,
+                Hd + prob.prior_var_inv)
+    G = _xtv_lm(prob, coeff) + dw * prob.prior_var_inv
+    return F, G, Dm
+
+
+def _grad_norm_at_zero_lm(prob: MultiProblem, n_rhs: int,
+                          axis_name: str | None = None) -> jax.Array:
+    yz = prob.y[None, :] * jnp.broadcast_to(
+        prob.offset[None, :], (n_rhs, prob.y.shape[0])).astype(
+            prob.prior_mean.dtype)
+    p = jax.nn.sigmoid(yz)
+    coeff = prob.weight[None, :] * (p - 1.0) * prob.y[None, :]
+    G0 = _xtv_lm(prob, coeff) - prob.prior_mean * prob.prior_var_inv
+    return _norm_lm(G0, axis_name)
+
+
+def _hv_lm(prob: MultiProblem, Dm: jax.Array, S: jax.Array,
+           axis_name: str | None = None) -> jax.Array:
+    return (_xtv_lm(prob, Dm * _xv_lm(prob, S, axis_name))
+            + S * prob.prior_var_inv)
+
+
+def _dot_lm(a, b, axis_name: str | None = None):
+    return _psum(jnp.sum(a * b, axis=1), axis_name)       # (L,)
+
+
+def _norm_lm(a, axis_name: str | None = None):
+    return jnp.sqrt(_psum(jnp.sum(a * a, axis=1), axis_name))
+
+
 class HeadBlockPrecond(NamedTuple):
     """M = (exact dense-head Hessian block) ⊕ (Jacobi diagonal on the tail).
 
@@ -430,14 +631,20 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
           M: jax.Array | None = None, axis_name: str | None = None):
     """Per-lane truncated CG with lock-step data passes (Tron.java:126-179).
 
+    LANES-MAJOR: all state (s/r/z/d, G, Dm, Jacobi M) is (L, ·); per-lane
+    scalars are (L,) and broadcast with [:, None]. See the lanes-major
+    layout note above — this removes the 42x lane-padding tax the (·, L)
+    state paid on every CG-trip loop fusion.
+
     With a Jacobi preconditioner M = diag(H) (Hsia et al. 2018, as adopted by
     liblinear >= 2.30 — an improvement over the reference's unpreconditioned
     TRON), the trust region is measured in the M-norm and the residual test
     uses ||r||_{M^-1}; M=None reproduces the reference exactly.
 
-    M may be None (no preconditioning — the reference path), an (n, L)
+    M may be None (no preconditioning — the reference path), an (L, n)
     Jacobi diagonal, or a HeadBlockPrecond (exact dense-head block ⊕ Jacobi
-    tail).
+    tail — its small H-sized solves run lanes-minor via boundary
+    transposes; H ≈ 512, so those transposes are noise).
 
     Sharded CG state (s/r/z/d and M) is column-local; every scalar reduction
     goes through the psum'd dots, so all (L,) trust-region scalars stay
@@ -449,20 +656,21 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
         def precond(r):
             return r
         def mdot(a, b):
-            return _dot(a, b, axis_name)
+            return _dot_lm(a, b, axis_name)
     elif isinstance(M, HeadBlockPrecond):
         def precond(r):
-            return _head_solve(M, r)
+            return _head_solve(M, r.T).T
         def mdot(a, b):
-            return _psum(jnp.sum(a * _head_apply(M, b), axis=0), axis_name)
+            return _psum(jnp.sum(a * _head_apply(M, b.T).T, axis=1),
+                         axis_name)
     else:
         def precond(r):
             return r / M
         def mdot(a, b):
-            return _psum(jnp.sum(a * M * b, axis=0), axis_name)
+            return _psum(jnp.sum(a * M * b, axis=1), axis_name)
 
     z0 = precond(-G)
-    cgtol = 0.1 * jnp.sqrt(_dot(-G, z0, axis_name))
+    cgtol = 0.1 * jnp.sqrt(_dot_lm(-G, z0, axis_name))
 
     def cond(state):
         s, r, z, d, rz, it, done = state
@@ -470,12 +678,12 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
 
     def body(state):
         s, r, z, d, rz, it, done = state
-        small = jnp.sqrt(jnp.maximum(_dot(r, z, axis_name), 0.0)) <= cgtol
+        small = jnp.sqrt(jnp.maximum(_dot_lm(r, z, axis_name), 0.0)) <= cgtol
 
-        Hd = hv(prob, Dm, d, axis_name)
-        dHd = _dot(d, Hd, axis_name)
+        Hd = _hv_lm(prob, Dm, d, axis_name)
+        dHd = _dot_lm(d, Hd, axis_name)
         alpha = jnp.where(dHd > 0, rz / jnp.where(dHd > 0, dHd, 1.0), 0.0)
-        s_try = s + alpha * d
+        s_try = s + alpha[:, None] * d
         boundary = jnp.sqrt(mdot(s_try, s_try)) > delta
 
         std = mdot(s, d)
@@ -492,28 +700,29 @@ def _trcg(prob: MultiProblem, Dm, G, delta, max_cg_iter: int,
             jnp.where(dtd != 0, (rad - std) / jnp.where(dtd != 0, dtd, 1.0),
                       0.0))
 
-        s_bnd = s + alpha_b * d
-        r_bnd = r - alpha_b * Hd
-        r_int = r - alpha * Hd
+        s_bnd = s + alpha_b[:, None] * d
+        r_bnd = r - alpha_b[:, None] * Hd
+        r_int = r - alpha[:, None] * Hd
         z_int = precond(r_int)
-        rz_new = _dot(r_int, z_int, axis_name)
+        rz_new = _dot_lm(r_int, z_int, axis_name)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        d_int = z_int + beta * d
+        d_int = z_int + beta[:, None] * d
 
         step = jnp.logical_and(~small, ~done)
         take_bnd = jnp.logical_and(step, boundary)
         take_int = jnp.logical_and(step, ~boundary)
 
-        s_out = jnp.where(take_bnd, s_bnd, jnp.where(take_int, s_try, s))
-        r_out = jnp.where(take_bnd, r_bnd, jnp.where(take_int, r_int, r))
-        z_out = jnp.where(take_int, z_int, z)
-        d_out = jnp.where(take_int, d_int, d)
+        bnd2, int2 = take_bnd[:, None], take_int[:, None]
+        s_out = jnp.where(bnd2, s_bnd, jnp.where(int2, s_try, s))
+        r_out = jnp.where(bnd2, r_bnd, jnp.where(int2, r_int, r))
+        z_out = jnp.where(int2, z_int, z)
+        d_out = jnp.where(int2, d_int, d)
         rz_out = jnp.where(take_int, rz_new, rz)
         done_out = jnp.logical_or(done, jnp.logical_or(small, take_bnd))
         return (s_out, r_out, z_out, d_out, rz_out, it + 1, done_out)
 
-    init = (zero, -G, z0, z0, _dot(-G, z0, axis_name),
-            jnp.asarray(0, jnp.int32), jnp.zeros(G.shape[1], bool))
+    init = (zero, -G, z0, z0, _dot_lm(-G, z0, axis_name),
+            jnp.asarray(0, jnp.int32), jnp.zeros(G.shape[0], bool))
     s, r, _z, _d, _rz, it, _done = jax.lax.while_loop(cond, body, init)
     snorm = jnp.sqrt(jnp.maximum(mdot(s, s), 0.0))
     return s, r, snorm, it
@@ -560,28 +769,38 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         raise ValueError("head_block preconditioning needs the hybrid "
                          "dense-head layout (head_size > 0, non-flat)")
 
-    gnorm1 = grad_norm_at_zero(prob, L, axis_name)
+    # lanes-major boundary: ONE transpose per solve of the (n, L) inputs;
+    # everything inside runs (L, ·) (see the layout note above)
+    prob_mm = prob  # lanes-minor view for the HeadBlockPrecond build
+    prob = prob._replace(
+        prior_mean=prob.prior_mean.T,
+        prior_var_inv=jnp.broadcast_to(
+            prob.prior_var_inv, prob.prior_mean.shape).T)
+    W0 = W0.T                                         # (L, n)
+
+    gnorm1 = _grad_norm_at_zero_lm(prob, L, axis_name)
 
     # the preconditioner is a pure function of the carried Dm; computing it
     # fused with f/g/D (xtv_and_sqdiag) and carrying it in loop state spends
     # ~half a data pass per Newton trip instead of a full standalone
     # hessian_diagonal pass
     if kind == "head_block":
-        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True,
-                                           axis_name=axis_name)
-        M0 = build_head_precond(prob, Dm, Hd0)
-        gnorm = _norm(G, axis_name)
-        delta = jnp.sqrt(_dot(G, _head_solve(M0, G), axis_name))
+        F, G, Dm, Hd0 = _fun_grad_curvature_lm(prob, W0, with_diag=True,
+                                               axis_name=axis_name)
+        M0 = build_head_precond(prob_mm, Dm.T, Hd0.T)
+        gnorm = _norm_lm(G, axis_name)
+        delta = jnp.sqrt(_psum(jnp.sum(G * _head_solve(M0, G.T).T, axis=1),
+                               axis_name))
     elif kind == "jacobi":
-        F, G, Dm, Hd0 = fun_grad_curvature(prob, W0, with_diag=True,
-                                           axis_name=axis_name)
+        F, G, Dm, Hd0 = _fun_grad_curvature_lm(prob, W0, with_diag=True,
+                                               axis_name=axis_name)
         M0 = jnp.maximum(Hd0, 1e-12)
-        gnorm = _norm(G, axis_name)
-        delta = jnp.sqrt(_dot(G, G / M0, axis_name))
+        gnorm = _norm_lm(G, axis_name)
+        delta = jnp.sqrt(_dot_lm(G, G / M0, axis_name))
     else:
-        F, G, Dm = fun_grad_curvature(prob, W0, axis_name=axis_name)
+        F, G, Dm = _fun_grad_curvature_lm(prob, W0, axis_name=axis_name)
         M0 = jnp.zeros((1, 1), dtype)  # placeholder: never read
-        gnorm = _norm(G, axis_name)
+        gnorm = _norm_lm(G, axis_name)
         delta = gnorm
     stall_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
 
@@ -596,22 +815,22 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
                                       M if kind != "none" else None,
                                       axis_name)
         W_new = W + S
-        gs = _dot(G, S, axis_name)
-        prered = -0.5 * (gs - _dot(S, Rres, axis_name))
+        gs = _dot_lm(G, S, axis_name)
+        prered = -0.5 * (gs - _dot_lm(S, Rres, axis_name))
         # one fused data pass yields f/g/D (+ diag) at the trial point; on
         # rejection the accept select below discards them, exactly as the
         # unfused code discarded its recomputation at the old W
         if kind == "head_block":
-            F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
+            F_new, G_new, Dm_new, Hd_new = _fun_grad_curvature_lm(
                 prob, W_new, with_diag=True, axis_name=axis_name)
-            M_new = build_head_precond(prob, Dm_new, Hd_new)
+            M_new = build_head_precond(prob_mm, Dm_new.T, Hd_new.T)
         elif kind == "jacobi":
-            F_new, G_new, Dm_new, Hd_new = fun_grad_curvature(
+            F_new, G_new, Dm_new, Hd_new = _fun_grad_curvature_lm(
                 prob, W_new, with_diag=True, axis_name=axis_name)
             M_new = jnp.maximum(Hd_new, 1e-12)
         else:
-            F_new, G_new, Dm_new = fun_grad_curvature(prob, W_new,
-                                                      axis_name=axis_name)
+            F_new, G_new, Dm_new = _fun_grad_curvature_lm(
+                prob, W_new, axis_name=axis_name)
             M_new = M
         actred = F - F_new
 
@@ -636,20 +855,21 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
         delta_new = jnp.where(active, delta_new, delta)
 
         accept = jnp.logical_and(active, actred > ETA0 * prered)
-        W_out = jnp.where(accept[None, :], W_new, W)
+        acc2 = accept[:, None]
+        W_out = jnp.where(acc2, W_new, W)
         F_out = jnp.where(accept, F_new, F)
-        G_out = jnp.where(accept[None, :], G_new, G)
-        Dm_out = jnp.where(accept[None, :], Dm_new, Dm)
+        G_out = jnp.where(acc2, G_new, G)
+        Dm_out = jnp.where(acc2, Dm_new, Dm)
         if kind == "head_block":
             M_out = HeadBlockPrecond(
                 chol=jnp.where(accept[:, None, None], M_new.chol, M.chol),
                 diag=jnp.where(accept[None, :], M_new.diag, M.diag),
                 head_mask=M.head_mask, head_ids=M.head_ids)
         elif kind == "jacobi":
-            M_out = jnp.where(accept[None, :], M_new, M)
+            M_out = jnp.where(acc2, M_new, M)
         else:
             M_out = M
-        gnorm_out = jnp.where(accept, _norm(G_new, axis_name), gnorm)
+        gnorm_out = jnp.where(accept, _norm_lm(G_new, axis_name), gnorm)
         it_out = it + jnp.where(accept, 1, 0)
 
         done = jnp.logical_and(accept, gnorm_out <= eps * gnorm1)
@@ -671,6 +891,6 @@ def tron_multi(prob: MultiProblem, W0: jax.Array, eps: jax.Array,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     W, F, G, Dm, _M, delta, gnorm, it, _active, trips, cg_trips = \
         jax.lax.while_loop(cond, body, init)
-    return MultiTronResult(w=W, f=F, gnorm=gnorm, iterations=it - 1,
+    return MultiTronResult(w=W.T, f=F, gnorm=gnorm, iterations=it - 1,
                            converged=gnorm <= eps * gnorm1,
                            newton_trips=trips, cg_trips=cg_trips)
