@@ -830,6 +830,16 @@ def read_records(path: str, reader_schema: Any = None) -> list[Any]:
 
 
 def enumerate_avro_files(path: str) -> list[str]:
+    # comma-separated path lists, as the reference's input.paths accepts
+    # (JobConfig values are raw strings; AvroUtils.addAllSubPaths is called
+    # per comma-split entry)
+    if "," in path:
+        out: list[str] = []
+        for p in path.split(","):
+            p = p.strip()
+            if p:
+                out.extend(enumerate_avro_files(p))
+        return out
     if os.path.isfile(path):
         return [path]
     found: list[str] = []
