@@ -1014,7 +1014,7 @@ def bench_streaming():
             b += sum(int(getattr(g, f).nbytes)
                      for f in ("tail_c_rows", "tail_c_cols", "tail_c_vals")
                      if getattr(g, f, None) is not None)
-        if trainer._resident_heads is None and g.head is not None:
+        if gi not in trainer._resident_heads and g.head is not None:
             b += int(g.head.nbytes)
         return b
 

@@ -34,8 +34,10 @@ HOST at construction (to_hybrid(column_sorted=True)) — never re-derived on
 device per iteration (the round-2 design re-sorted every non-resident
 group's tail every iteration; at 200K features that vmapped stable argsort
 was the measured per-iteration floor, ROADMAP 4d). Residency ladder under
-`resident_head_budget_gb`: (tier 1) every group's dense head — the dominant
-transfer; (tier 2) whole groups; (tier 3) remaining groups' column-sorted
+`resident_head_budget_gb`: (tier 1) dense heads PER GROUP while they fit —
+the dominant transfer (at 100M-row scale total heads exceed HBM, so
+all-or-nothing head pinning would pin zero bytes);
+(tier 2) whole groups; (tier 3) remaining groups' column-sorted
 tail triplets. Groups past the budget stream both tail copies from host
 (12 B/nnz more wire than round 2, zero sort — the wire is measured NOT to
 be the bottleneck on the tunneled chip, and is even cheaper on local PCIe).
@@ -184,7 +186,8 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                              tail_rows=t_rows, tail_cols=t_cols,
                              tail_vals=t_vals, tail_c_rows=tc_rows,
                              tail_c_cols=tc_cols, tail_c_vals=tc_vals)
-        return solver(prob, w0, eps).w
+        r = solver(prob, w0, eps)
+        return r.w, r.iterations, r.cg_iterations
 
     head_inner = (0, None, 0, 0, 0, 0, 0, 0) if use_head else None
     solve_blocks = jax.vmap(solve_one,
@@ -209,8 +212,9 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                                 tail_rows=t_rows, tail_cols=t_cols,
                                 tail_vals=t_vals, tail_c_rows=tc_rows,
                                 tail_c_cols=tc_cols, tail_c_vals=tc_vals)
-            return tron_multi(prob, W0, eps, max_iter=max_newton_iter,
-                              max_cg_iter=max_cg_iter, precondition=pcg).w
+            r = tron_multi(prob, W0, eps, max_iter=max_newton_iter,
+                           max_cg_iter=max_cg_iter, precondition=pcg)
+            return r.w, r.newton_trips, r.cg_trips
 
         solve_multi = jax.vmap(solve_block_multi,
                                in_axes=(0, 0, 0, 0, 0, head_inner,
@@ -224,10 +228,12 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
             L, n = z.shape
             prob = stack_blocks(indices, values, y, weight, offset, head,
                                 prior_mean, rho_eff)
-            w = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
+            r = tron_multi(prob, jnp.tile(z.T, (B, 1)), jnp.min(eps),
                            max_iter=max_newton_iter,
-                           max_cg_iter=max_cg_iter, precondition=pcg).w
-            return w.reshape(B, n, L).transpose(2, 0, 1)   # (L, B, n)
+                           max_cg_iter=max_cg_iter, precondition=pcg)
+            # (L, B, n) solution + this group's solver trip counters
+            return (r.w.reshape(B, n, L).transpose(2, 0, 1),
+                    r.newton_trips, r.cg_trips)
 
     def run(indices, values, y, weight, offset, head, present, z, u,
             rho_eff, eps):
@@ -236,18 +242,23 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
         prior_mean = z[:, None, :] - u
         prior_var_inv = rho_eff[:, None] * jnp.ones((1, n), dtype)
         if multi_rhs and flat_blocks:
-            x = solve_flat(indices, values, y, weight, offset, head,
-                           prior_mean, z, rho_eff, eps)
+            x, nt, cg = solve_flat(indices, values, y, weight, offset, head,
+                                   prior_mean, z, rho_eff, eps)
         elif multi_rhs:
-            x_T = solve_multi(indices, values, y, weight, offset, head,
-                              prior_mean.transpose(1, 2, 0),
-                              prior_var_inv.T, z.T, eps)
+            x_T, nt_b, cg_b = solve_multi(indices, values, y, weight, offset,
+                                          head, prior_mean.transpose(1, 2, 0),
+                                          prior_var_inv.T, z.T, eps)
             x = x_T.transpose(2, 0, 1)
+            nt, cg = jnp.sum(nt_b), jnp.sum(cg_b)
         else:
-            x = solve_grid(indices, values, y, weight, offset, head,
-                           prior_mean, prior_var_inv, z, eps)
+            x, nt_lb, cg_lb = solve_grid(indices, values, y, weight, offset,
+                                         head, prior_mean, prior_var_inv, z,
+                                         eps)
+            nt, cg = jnp.sum(nt_lb), jnp.sum(cg_lb)
         x = jnp.where(present[None, :, :], x, prior_mean)
-        return x
+        # trips ride the iteration's single scalar fetch (explains where a
+        # big-shape iteration's time goes: trips x per-pass cost)
+        return x, jnp.stack([nt, cg]).astype(jnp.int32)
 
     return jax.jit(run)
 
@@ -371,46 +382,57 @@ class StreamingAdmmTrainer:
         # A fully-resident group's per-iteration wire is ZERO under device
         # consensus. Groups past the budget stream both host-precomputed
         # tail layouts — never a per-iteration sort.
-        self._resident_heads: list | None = None
+        self._resident_heads: dict[int, tuple] = {}
         self._resident_groups: dict[int, tuple] = {}
         self._resident_ctails: dict[int, tuple] = {}
         if self.use_head and resident_head in ("auto", True):
             budget = budget_gb * (1 << 30)
-            head_bytes = sum(g.head.nbytes for g in self.groups)
-            if head_bytes <= budget:
-                self._resident_heads = [
-                    (self._put_b(g.head), self._put_r(g.head_ids))
-                    for g in self.groups]
-                budget -= head_bytes
-                pinned = head_bytes
-                for gi, g in enumerate(self.groups):
-                    gb = _group_stream_bytes(g)
-                    if gb > budget:
-                        break
-                    self._resident_groups[gi] = self._pin_group(gi)
-                    budget -= gb
-                    pinned += gb
-                for gi, g in enumerate(self.groups):
-                    if gi in self._resident_groups:
-                        continue
-                    cb = _ctail_bytes(g)
-                    if 0 < cb <= budget:
-                        self._resident_ctails[gi] = (
-                            self._put_b(g.tail_c_rows),
-                            self._put_b(g.tail_c_cols),
-                            self._put_b(g.tail_c_vals))
-                        budget -= cb
-                        pinned += cb
-                logger.info(
-                    "resident mode: %.2f GB pinned in device memory "
-                    "(all %d heads + %d/%d full groups + %d sorted tails); "
-                    "consensus state (%.2f GB) %s",
-                    pinned / (1 << 30), len(self.groups),
-                    len(self._resident_groups), len(self.groups),
-                    len(self._resident_ctails),
-                    consensus_bytes / (1 << 30),
-                    "device-resident" if self._consensus_device
-                    else "host-resident")
+            pinned = 0
+            # tier 1 — dense heads PER GROUP while they fit (at 100M-row
+            # scale total heads exceed HBM outright; pinning the first K
+            # groups' heads still saves K/G of the dominant transfer —
+            # all-or-nothing here would pin zero bytes)
+            for gi, g in enumerate(self.groups):
+                hb = int(g.head.nbytes) + int(g.head_ids.nbytes)
+                if hb <= budget:
+                    self._resident_heads[gi] = (self._put_b(g.head),
+                                                self._put_r(g.head_ids))
+                    budget -= hb
+                    pinned += hb
+            # tier 2 — whole groups (only where the head is already
+            # pinned: _pin_group reuses the tier-1 device arrays)
+            for gi, g in enumerate(self.groups):
+                if gi not in self._resident_heads:
+                    continue
+                gb = _group_stream_bytes(g)
+                if gb > budget:
+                    break
+                self._resident_groups[gi] = self._pin_group(gi)
+                budget -= gb
+                pinned += gb
+            # tier 3 — remaining groups' column-sorted tail triplets
+            for gi, g in enumerate(self.groups):
+                if gi in self._resident_groups:
+                    continue
+                cb = _ctail_bytes(g)
+                if 0 < cb <= budget:
+                    self._resident_ctails[gi] = (
+                        self._put_b(g.tail_c_rows),
+                        self._put_b(g.tail_c_cols),
+                        self._put_b(g.tail_c_vals))
+                    budget -= cb
+                    pinned += cb
+            logger.info(
+                "resident mode: %.2f GB pinned in device memory "
+                "(%d/%d heads + %d/%d full groups + %d sorted tails); "
+                "consensus state (%.2f GB) %s",
+                pinned / (1 << 30), len(self._resident_heads),
+                len(self.groups),
+                len(self._resident_groups), len(self.groups),
+                len(self._resident_ctails),
+                consensus_bytes / (1 << 30),
+                "device-resident" if self._consensus_device
+                else "host-resident")
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
             use_head=self.use_head,
@@ -452,7 +474,7 @@ class StreamingAdmmTrainer:
         mode — the ladder may have skipped tiers that did not fit)."""
         return {
             "consensus_device": bool(self._consensus_device),
-            "heads_pinned": self._resident_heads is not None,
+            "heads_pinned": len(self._resident_heads),
             "full_groups_pinned": len(self._resident_groups),
             "sorted_tails_pinned": len(self._resident_ctails),
             "n_groups": len(self.groups),
@@ -486,7 +508,7 @@ class StreamingAdmmTrainer:
             else:
                 tc_rows, tc_cols = put_b(g.tail_c_rows), put_b(g.tail_c_cols)
                 tc_vals = put_b(g.tail_c_vals)
-            if self._resident_heads is not None:
+            if gi in self._resident_heads:
                 head_x, head_ids = self._resident_heads[gi]
             else:
                 head_x, head_ids = put_b(g.head), put_r(g.head_ids)
@@ -605,23 +627,25 @@ class StreamingAdmmTrainer:
                 # ---- device-resident consensus iteration -------------
                 # every dispatch below is async; the single host sync is
                 # the (diffs, loglik) scalar fetch at the end
-                xsum = usum = None
+                xsum = usum = trips_dev = None
                 x_keep = []
                 pending = self._put_group(0, dtype)
                 for gi, scale in enumerate(self.eps_scales):
                     arrs = pending
                     indices, values, y, weight, offset, head, present = arrs
-                    x_dev = self.solver(indices, values, y, weight, offset,
-                                        head, present, z_dev,
-                                        self._u_dev[gi], rho_eff,
-                                        jnp.asarray(inner_eps * scale,
-                                                    dtype))
+                    x_dev, g_trips = self.solver(
+                        indices, values, y, weight, offset,
+                        head, present, z_dev,
+                        self._u_dev[gi], rho_eff,
+                        jnp.asarray(inner_eps * scale, dtype))
                     if gi + 1 < len(self.groups):
                         pending = self._put_group(gi + 1, dtype)
                     xs, us = _partial_sums(x_dev, self._u_dev[gi],
                                            bv_dev[gi])
                     xsum = xs if xsum is None else xsum + xs
                     usum = us if usum is None else usum + us
+                    trips_dev = (g_trips if trips_dev is None
+                                 else trips_dev + g_trips)
                     x_keep.append(x_dev)
                 z_new, diffs_dev = _z_update_from_sums(
                     xsum, usum, z_dev, lam_dev, rhob_dev, **zup_static)
@@ -629,15 +653,19 @@ class StreamingAdmmTrainer:
                     self._u_dev[gi] = _u_update_dev(
                         self._u_dev[gi], x_keep[gi], z_new, bv_dev[gi])
                 del x_keep
+                trips_f = trips_dev.astype(dtype)
                 if track_ll:
                     idx, val, yv, wv, offv = self.test_arrays
                     ll_dev = self.loglik_fn(idx, val, yv, wv, offv, z_new)
                     out = np.asarray(
-                        jnp.concatenate([diffs_dev, ll_dev]), np.float64)
-                    diffs, lls = out[:L], out[L:]
+                        jnp.concatenate([diffs_dev, ll_dev, trips_f]),
+                        np.float64)
+                    diffs, lls = out[:L], out[L:2 * L]
                 else:
-                    diffs = np.asarray(diffs_dev, np.float64)
-                    lls = None
+                    out = np.asarray(
+                        jnp.concatenate([diffs_dev, trips_f]), np.float64)
+                    diffs, lls = out[:L], None
+                trips = out[-2:].astype(np.int64)
                 z_dev = z_new
             else:
                 # ---- host-resident consensus iteration ---------------
@@ -647,16 +675,18 @@ class StreamingAdmmTrainer:
                 xsum_h = np.zeros((L, n))
                 usum_h = np.zeros((L, n))
                 x_devs = []
+                trips_devs = []
                 pending = self._put_group(0, dtype)
                 for gi, (u_g, scale) in enumerate(zip(u_groups,
                                                       self.eps_scales)):
                     arrs = pending
                     indices, values, y, weight, offset, head, present = arrs
                     u_dev = self._put_u(np.asarray(u_g, dtype))
-                    x_dev = self.solver(indices, values, y, weight, offset,
-                                        head, present, z_put, u_dev, rho_eff,
-                                        jnp.asarray(inner_eps * scale,
-                                                    dtype))
+                    x_dev, g_trips = self.solver(
+                        indices, values, y, weight, offset,
+                        head, present, z_put, u_dev, rho_eff,
+                        jnp.asarray(inner_eps * scale, dtype))
+                    trips_devs.append(g_trips)
                     # double buffering: issue the next group's transfer
                     # while the current solve runs; the host syncs ONCE
                     # after the last group
@@ -686,6 +716,10 @@ class StreamingAdmmTrainer:
                     u_g += x - z_new[:, None, :]
                 diffs = np.abs(z_new - z).max(axis=1)
                 z = z_new
+                # one fetch for all groups' counters (the x fetch above was
+                # the iteration's sync point, so this adds no extra wait)
+                trips = np.asarray(
+                    jnp.sum(jnp.stack(trips_devs), axis=0), np.int64)
                 lls = self.sample_loglik(z) if track_ll else None
 
             mindiff = float(diffs.min())
@@ -693,8 +727,10 @@ class StreamingAdmmTrainer:
             diff_history.append({_lambda_key(l): float(d)
                                  for l, d in zip(self.lambdas, diffs)})
             iter_times.append(time.monotonic() - t_iter)
-            logger.info("stream iter %d: maxdiff=%g (%.2fs)", iteration,
-                        maxdiff, iter_times[-1])
+            logger.info(
+                "stream iter %d: maxdiff=%g (%.2fs, %d newton / %d cg "
+                "trips over %d groups)", iteration, maxdiff, iter_times[-1],
+                int(trips[0]), int(trips[1]), len(self.groups))
 
             # per-iteration sample loglik + best-model tracking
             # (RegressionAdmmTrain.java:766-845)

@@ -75,7 +75,7 @@ def test_bench_streaming_emits_final_json(tmp_path):
     assert final["value"] > 0
     assert final["detail"]["data_streamed_mb_per_iter"] > 0
     residency = final["detail"]["residency"]
-    assert residency["heads_pinned"] is True
+    assert residency["heads_pinned"] == residency["n_groups"]
     assert residency["consensus_device"] is True
     assert final["detail"]["consensus_mb_per_iter"] == 0
 

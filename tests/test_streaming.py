@@ -194,16 +194,28 @@ def test_streaming_resident_head_parity_and_budget():
     groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
 
     t_res = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=True)
-    assert t_res._resident_heads is not None
+    assert len(t_res._resident_heads) == len(t_res.groups)
     t_stream = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False)
-    assert t_stream._resident_heads is None
+    assert len(t_stream._resident_heads) == 0
     np.testing.assert_array_equal(np.asarray(t_res.run().z),
                                   np.asarray(t_stream.run().z))
 
-    # auto with a zero budget: heads never fit -> streamed
+    # auto with a zero budget: nothing fits -> fully streamed
     t_auto = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
                                   resident_head_budget_gb=0.0)
-    assert t_auto._resident_heads is None
+    assert len(t_auto._resident_heads) == 0
+
+    # PARTIAL budget: only the first group's head fits -> tier 1 pins it
+    # per group (all-or-nothing would pin zero), results bit-identical
+    one_head_gb = (t_res.groups[0].head.nbytes
+                   + t_res.groups[0].head_ids.nbytes + 1) / (1 << 30)
+    t_part = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
+                                  resident_head_budget_gb=one_head_gb,
+                                  consensus_device=True)
+    assert len(t_part._resident_heads) >= 1
+    assert len(t_part._resident_heads) < len(t_part.groups)
+    np.testing.assert_array_equal(np.asarray(t_part.run().z),
+                                  np.asarray(t_stream.run().z))
 
 
 def test_streaming_device_sorted_tail_matches_host_sort():
