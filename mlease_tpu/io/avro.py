@@ -837,8 +837,16 @@ def enumerate_avro_files(path: str) -> list[str]:
         out: list[str] = []
         for p in path.split(","):
             p = p.strip()
-            if p:
-                out.extend(enumerate_avro_files(p))
+            if not p:
+                continue
+            # an explicitly-listed entry that does not exist is an error,
+            # as in AvroUtils.addAllSubPaths (a bad HDFS path fails the
+            # job) — silently contributing zero files would hide typos
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"input path entry does not exist: {p!r} "
+                    f"(from comma-separated list {path!r})")
+            out.extend(enumerate_avro_files(p))
         return out
     if os.path.isfile(path):
         return [path]

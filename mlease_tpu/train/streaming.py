@@ -653,7 +653,9 @@ class StreamingAdmmTrainer:
                     self._u_dev[gi] = _u_update_dev(
                         self._u_dev[gi], x_keep[gi], z_new, bv_dev[gi])
                 del x_keep
-                trips_f = trips_dev.astype(dtype)
+                # float32 unconditionally: a bfloat16 compute dtype would
+                # round trip counts above 256 (concatenate promotes)
+                trips_f = trips_dev.astype(jnp.float32)
                 if track_ll:
                     idx, val, yv, wv, offv = self.test_arrays
                     ll_dev = self.loglik_fn(idx, val, yv, wv, offv, z_new)

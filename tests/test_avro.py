@@ -111,3 +111,26 @@ def test_response_aliasing():
         get_response({"foo": 1})
     with pytest.raises(ValueError):
         get_response({"response": "yes"})
+
+
+def test_enumerate_comma_separated_paths(tmp_path):
+    """input.paths accepts comma-separated entries (the reference calls
+    AvroUtils.addAllSubPaths once per comma-split entry); whitespace and
+    empty segments are tolerated, a nonexistent listed entry raises (the
+    reference fails the job on a bad path rather than training on less
+    data than the config names)."""
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    recs = [{"lambda": 1.0, "rho": 2.5}]
+    avro.write_records(str(d1 / "part-0.avro"), schemas.LAMBDA_RHO_MAP, recs)
+    avro.write_records(str(d2 / "part-0.avro"), schemas.LAMBDA_RHO_MAP, recs)
+    f3 = tmp_path / "single.avro"
+    avro.write_records(str(f3), schemas.LAMBDA_RHO_MAP, recs)
+
+    got = avro.enumerate_avro_files(f" {d1} , {d2},, {f3} ,")
+    assert got == [str(d1 / "part-0.avro"), str(d2 / "part-0.avro"), str(f3)]
+
+    with pytest.raises(FileNotFoundError, match="does-not-exist"):
+        avro.enumerate_avro_files(f"{d1},{tmp_path}/does-not-exist")

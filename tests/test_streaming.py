@@ -267,15 +267,16 @@ def test_streaming_tiered_residency_budget_ladder():
                      head_size=4, multi_rhs=True)
     groups = [pack_blocks([rows[:120]], vocab), pack_blocks([rows[120:]], vocab)]
 
-    from mlease_tpu.train.streaming import _group_stream_bytes
-    head_gb = sum(g.head is not None and g.head.nbytes
-                  for g in StreamingAdmmTrainer(groups, vocab, cfg,
-                                                resident_head=False).groups)
+    probe = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False)
+    # tier 1 charges head.nbytes + head_ids.nbytes per group
+    head_bytes = sum(g.head.nbytes + g.head_ids.nbytes
+                     for g in probe.groups)
     # budget just above the heads, below heads + first group
-    tight = (head_gb + 1) / (1 << 30)
+    tight = (head_bytes + 1) / (1 << 30)
     t1 = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
                               resident_head_budget_gb=tight)
-    assert t1._resident_heads is not None and not t1._resident_groups
+    assert len(t1._resident_heads) == len(groups)
+    assert not t1._resident_groups and not t1._resident_ctails
 
     t2 = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=True)
     assert set(t2._resident_groups) == {0, 1}
