@@ -12,12 +12,18 @@ process blocks for 1.5-7 minutes (measured 94/138/409 s on consecutive fresh
 processes). Two mitigations: (1) a tiny op is dispatched at startup — dispatch
 is async, so the stall runs in the background while datagen/tracing/compile
 proceed, and the measured `device_acquire_s` is reported in detail; (2) a
-two-stage watchdog thread — at BENCH_DEADLINE (default 240 s) it prints the
-best measurement so far (or a 0.0 diagnostic line) and KEEPS RUNNING; at
-BENCH_HARD_DEADLINE (default 540 s) it prints and exits 0. The driver can
-therefore always parse a line no matter when it kills the process (round-1
-failure mode: rc 124, parsed null), and a late-finishing run still emits the
-full result as the final line.
+two-stage watchdog thread — at BENCH_DEADLINE (default 240 s) of CHARGED
+time it prints the best measurement so far (or a 0.0 diagnostic line) and
+KEEPS RUNNING; at BENCH_HARD_DEADLINE (default 540 s) it prints and exits 0.
+Time spent blocked on device acquisition is NOT charged against these
+deadlines (BENCH_r03 failure mode: a busy chip burned the whole budget inside
+the acquire wait and the round recorded 0.0); acquisition has its own budget
+(BENCH_ACQUIRE_DEADLINE, default 1500 s) with heartbeat JSON every
+BENCH_ACQUIRE_HEARTBEAT (60 s) and a fresh probe dispatch every 180 s. The
+driver can therefore always parse a line no matter when it kills the process
+(round-1 failure mode: rc 124, parsed null), and a late-finishing run still
+emits the full result as the final line; contention produces a LATE number,
+not a 0.0 artifact.
 
 Roofline accounting: the solver returns lock-step loop-trip counters
 (ops/tron_multi.py MultiTronResult.newton_trips/cg_trips); every CG trip costs
@@ -70,6 +76,9 @@ _PHASE = "startup"
 _WARMUP = None                # async-dispatched tiny op (device acquisition)
 _ACQUIRE_T0 = 0.0
 _ACQUIRE_S: float | None = None
+_ACQUIRE_EVENT = threading.Event()   # set by whichever probe resolves first
+_ACQUIRE_BLOCK_T0: float | None = None  # main thread currently blocked since
+_ACQUIRE_EXCLUDED = 0.0              # completed acquire-blocked seconds
 _HARD_DEADLINE = 540.0
 _T_START = time.monotonic()
 
@@ -78,17 +87,30 @@ def _emit(result: dict) -> None:
     print(json.dumps(result), flush=True)
 
 
+def _charged_seconds(now: float) -> float:
+    """Wall time charged against the measurement deadlines: elapsed minus
+    the time the main thread spent blocked waiting for the device. Chip
+    contention (another process holding the tunneled chip for minutes,
+    BENCH_r03's failure mode) is budgeted separately by
+    BENCH_ACQUIRE_DEADLINE, not against the measurement budget."""
+    excluded = _ACQUIRE_EXCLUDED
+    if _ACQUIRE_BLOCK_T0 is not None:
+        excluded += now - _ACQUIRE_BLOCK_T0
+    return (now - _T_START) - excluded
+
+
 def _watchdog_emit():
     if _RESULT is not None:
         _emit(_RESULT)
     else:
+        now = time.monotonic()
         _emit({"metric": "admm_iterations_per_s", "value": 0.0,
                "unit": f"iter/s (DEADLINE hit during phase '{_PHASE}' — "
                        "no measurement completed)",
                "vs_baseline": 0.0,
                "detail": {"phase": _PHASE,
-                          "acquire_wait_s": round(
-                              time.monotonic() - _ACQUIRE_T0, 1)}})
+                          "charged_s": round(_charged_seconds(now), 1),
+                          "acquire_wait_s": round(now - _ACQUIRE_T0, 1)}})
 
 
 def _watchdog_thread(soft: float, hard: float):
@@ -97,15 +119,44 @@ def _watchdog_thread(soft: float, hard: float):
     device fetch — the exact failure being guarded against; a thread prints
     regardless because the blocked C++ call releases the GIL).
 
+    Deadlines are measured in CHARGED time (`_charged_seconds`): the minutes
+    the main thread spends blocked on device acquisition are excluded, so a
+    busy chip delays the number instead of zeroing it (BENCH_r03 burned the
+    whole 240 s/540 s budget inside the acquire wait and recorded 0.0).
+
     Stage 1 (BENCH_DEADLINE): print best-so-far (or a 0.0 diagnostic) and
     keep working — if the driver kills the process later, stdout already
     holds a parseable line; if the run finishes, the full result is the
     final line. Stage 2 (BENCH_HARD_DEADLINE): print best-so-far and exit 0."""
-    time.sleep(max(soft - (time.monotonic() - _T_START), 0.0))
-    _watchdog_emit()
-    time.sleep(max(hard - (time.monotonic() - _T_START), 1.0))
-    _watchdog_emit()
-    os._exit(0)
+    soft_emitted = False
+    while True:
+        time.sleep(2.0)
+        charged = _charged_seconds(time.monotonic())
+        if charged >= hard:
+            _watchdog_emit()
+            os._exit(0)
+        if charged >= soft and not soft_emitted:
+            _watchdog_emit()
+            soft_emitted = True
+
+
+def _acquire_waiter(op):
+    """Block on one probe op (daemon thread); first resolution wins."""
+    global _ACQUIRE_S
+    try:
+        np.asarray(op)
+    except Exception:
+        return
+    if _ACQUIRE_S is None:
+        _ACQUIRE_S = time.monotonic() - _ACQUIRE_T0
+    _ACQUIRE_EVENT.set()
+
+
+def _dispatch_probe():
+    import jax.numpy as jnp
+    op = jnp.zeros((8,), jnp.float32) + 1.0
+    threading.Thread(target=_acquire_waiter, args=(op,), daemon=True).start()
+    return op
 
 
 def _start_device_acquire():
@@ -113,19 +164,63 @@ def _start_device_acquire():
     (minutes, measured) runs in the background while host-side setup
     proceeds; `_finish_device_acquire` blocks on it and reports the cost."""
     global _WARMUP, _ACQUIRE_T0
-    import jax.numpy as jnp
     _ACQUIRE_T0 = time.monotonic()
-    _WARMUP = jnp.zeros((8,), jnp.float32) + 1.0
+    _WARMUP = _dispatch_probe()
 
 
 def _finish_device_acquire() -> float:
-    global _ACQUIRE_S
-    if _ACQUIRE_S is None:
-        if _WARMUP is None:
-            return 0.0
-        np.asarray(_WARMUP)
-        _ACQUIRE_S = time.monotonic() - _ACQUIRE_T0
-    return _ACQUIRE_S
+    """Wait for device acquisition under its OWN budget (separate from the
+    measurement deadlines): heartbeat JSON every BENCH_ACQUIRE_HEARTBEAT s
+    so an externally-killed process leaves an informative last line, a
+    fresh probe re-dispatched every 180 s (up to 4 — a lost dispatch is
+    indistinguishable from contention from out here), and a hard exit at
+    BENCH_ACQUIRE_DEADLINE if the chip never frees. Known contention
+    stalls run 94–409 s (ROADMAP); the default 1500 s budget clears them."""
+    global _ACQUIRE_S, _ACQUIRE_BLOCK_T0, _ACQUIRE_EXCLUDED, _PHASE
+    if _ACQUIRE_S is not None:
+        return _ACQUIRE_S
+    if _WARMUP is None:
+        return 0.0
+    prev_phase = _PHASE
+    _PHASE = "device-acquire"
+    _ACQUIRE_BLOCK_T0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_ACQUIRE_DEADLINE", 1500))
+    heartbeat = float(os.environ.get("BENCH_ACQUIRE_HEARTBEAT", 60))
+    next_beat = heartbeat
+    retries = 0
+    while not _ACQUIRE_EVENT.wait(timeout=5.0):
+        now = time.monotonic()
+        waited = now - _ACQUIRE_T0
+        if waited >= budget:
+            _emit({"metric": "admm_iterations_per_s", "value": 0.0,
+                   "unit": "iter/s (BENCH_ACQUIRE_DEADLINE hit — device "
+                           "never acquired; chip busy or tunnel down)",
+                   "vs_baseline": 0.0,
+                   "detail": {"phase": "device-acquire",
+                              "acquire_wait_s": round(waited, 1),
+                              "acquire_retries": retries}})
+            os._exit(0)
+        blocked = now - _ACQUIRE_BLOCK_T0
+        if blocked >= next_beat:
+            _emit({"metric": "admm_iterations_per_s", "value": 0.0,
+                   "unit": "iter/s (device-acquire heartbeat — still "
+                           "waiting for the chip; measurement deadline "
+                           "paused)",
+                   "vs_baseline": 0.0,
+                   "detail": {"phase": "device-acquire",
+                              "acquire_wait_s": round(waited, 1),
+                              "acquire_retries": retries}})
+            next_beat += heartbeat
+        if blocked >= (retries + 1) * 180.0 and retries < 4:
+            retries += 1
+            try:
+                _dispatch_probe()
+            except Exception:
+                pass
+    _ACQUIRE_EXCLUDED += time.monotonic() - _ACQUIRE_BLOCK_T0
+    _ACQUIRE_BLOCK_T0 = None
+    _PHASE = prev_phase
+    return _ACQUIRE_S if _ACQUIRE_S is not None else 0.0
 
 
 def _chip_peaks():

@@ -92,3 +92,57 @@ def test_bench_watchdog_two_stage(tmp_path):
         "BENCH_SKIP_CONV": "1"})
     assert len(parsed) >= 2, "stage-1 watchdog line + final line expected"
     assert parsed[-1]["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_acquire_stall_heartbeats_and_budget(tmp_path):
+    """Chip contention contract (BENCH_r03 failure mode): while blocked in
+    device-acquire the bench must (a) NOT charge the wait against
+    BENCH_DEADLINE/BENCH_HARD_DEADLINE, (b) emit parseable heartbeat JSON,
+    and (c) exit 0 with a diagnostic line when BENCH_ACQUIRE_DEADLINE is
+    exhausted. Simulated by installing a warmup probe that never resolves."""
+    code = (
+        "import threading, time, bench\n"
+        "bench._T_START = time.monotonic()\n"
+        "threading.Thread(target=bench._watchdog_thread, args=(3.0, 6.0),\n"
+        "                 daemon=True).start()\n"
+        "bench._ACQUIRE_T0 = time.monotonic()\n"
+        "bench._WARMUP = object()  # never resolves: simulated busy chip\n"
+        "bench._finish_device_acquire()\n"
+        "raise SystemExit('unreachable: acquire budget must os._exit(0)')\n"
+    )
+    env = dict(os.environ)
+    env.update(TINY)
+    env.update({"BENCH_ACQUIRE_DEADLINE": "12",
+                "BENCH_ACQUIRE_HEARTBEAT": "4",
+                # deadlines far BELOW the acquire budget: if the wait were
+                # charged, the hard watchdog would fire first and the last
+                # line would be the generic DEADLINE diagnostic instead
+                "BENCH_DEADLINE": "3", "BENCH_HARD_DEADLINE": "6"})
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd=REPO, env=env)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr[-2000:])
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) >= 2, lines  # >=1 heartbeat + the budget diagnostic
+    assert any("heartbeat" in rec["unit"] for rec in lines[:-1])
+    final = lines[-1]
+    assert "BENCH_ACQUIRE_DEADLINE" in final["unit"]
+    assert final["detail"]["acquire_wait_s"] >= 12
+    assert final["value"] == 0.0
+
+
+def test_bench_charged_seconds_excludes_acquire_wait():
+    """The watchdog charges elapsed-minus-acquire-blocked time."""
+    sys.path.insert(0, REPO)
+    import bench
+    t0 = bench._T_START
+    bench._ACQUIRE_EXCLUDED = 7.0
+    bench._ACQUIRE_BLOCK_T0 = None
+    try:
+        assert bench._charged_seconds(t0 + 10.0) == pytest.approx(3.0)
+        bench._ACQUIRE_BLOCK_T0 = t0 + 8.0
+        assert bench._charged_seconds(t0 + 10.0) == pytest.approx(1.0)
+    finally:
+        bench._ACQUIRE_EXCLUDED = 0.0
+        bench._ACQUIRE_BLOCK_T0 = None
