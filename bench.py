@@ -30,9 +30,11 @@ Roofline accounting: the solver returns lock-step loop-trip counters
 one Hv = 2 passes over the data, every Newton trip 3 passes (fused f/g/D at
 the trial point + Jacobi diag). From the analytic per-pass FLOP/byte model of the hybrid layout
 (dense head MXU matmul + ELL/COO gathers) we report achieved FLOP/s, HBM
-bandwidth, mfu and bw_util against the chip's peaks. The workload is
-gather-bound, so bw_util is the number that measures distance from
-speed-of-light; mfu contextualizes how little of the MXU a sparse GLM can use.
+bandwidth, mfu and bw_util against the chip's peaks — context numbers: a
+sparse GLM can use neither peak. The utilization number that measures
+distance from speed-of-light is detail.roofline.pass_floor.util: measured
+per-pass times (tools/pass_floors.json, written on-chip by
+tools/pass_microbench.py --floors) composed by the run's actual trip counts.
 
 Baseline context: the reference (linkedin/ml-ease) runs ONE Hadoop MapReduce
 job per ADMM iteration (RegressionAdmmTrain.java:281-497 — job submission,
@@ -61,12 +63,13 @@ import numpy as np
 # bf16 MXU peak (the number "speed-of-light" claims are judged against even
 # though the solver accumulates in f32); bw_util against HBM bandwidth.
 CHIP_PEAKS = {
-    # TPU v5e: 197 bf16 TFLOP/s, 819 GB/s HBM per chip; row_ns = measured
-    # per-sparse-row processing floor (full tail pass: gather + scale +
-    # sorted segment-reduce; tools/pass_microbench.py), gather-only ~2.7 ns
-    "TPU v5 lite": {"flops": 197e12, "hbm": 819e9, "row_ns": 9.0},
-    "TPU v5e": {"flops": 197e12, "hbm": 819e9, "row_ns": 9.0},
-    # TPU v4: 275 bf16 TFLOP/s, 1228 GB/s; row floor unmeasured
+    # TPU v5e: 197 bf16 TFLOP/s, 819 GB/s HBM per chip. (The former per-row
+    # "row_ns: 9.0" floor was retired in round 4: round-3 probes showed it
+    # was a dispatch artifact — raw gather is ~2.7 ns/row and locality-
+    # insensitive; the honest floor is the measured per-pass table in
+    # tools/pass_floors.json, see _pass_floor below.)
+    "TPU v5 lite": {"flops": 197e12, "hbm": 819e9},
+    "TPU v5e": {"flops": 197e12, "hbm": 819e9},
     "TPU v4": {"flops": 275e12, "hbm": 1228e9},
 }
 DEFAULT_PEAKS = {"flops": 197e12, "hbm": 819e9}
@@ -294,7 +297,8 @@ def _make_vocab(n_features: int):
 
 
 def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
-              passes_per_iter: float, iter_s: float):
+              passes_per_iter: float, iter_s: float,
+              nt_per_iter: float = 0.0, cg_per_iter: float = 0.0):
     """Analytic per-iteration FLOPs/bytes of the hybrid multi-RHS layout.
 
     One "pass" = one sparse matvec direction over every block's data with all
@@ -320,17 +324,12 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
 
     flops_iter = passes_per_iter * flops_pass
     bytes_iter = passes_per_iter * bytes_pass
-    # the workload is SPARSE-ROW-RATE bound, not streaming-bandwidth bound:
-    # random (L)-wide row accesses issue at a per-row rate regardless of
-    # index locality (tools/pass_microbench.py), so the honest
-    # speed-of-light denominator is the chip's measured per-row processing
-    # floor (CHIP_PEAKS row_ns), not its sequential HBM peak (bw_util looks
-    # ~5% because 12-byte random accesses can never stream)
+    # descriptive only — see _pass_floor for the utilization denominator
     sparse_rows_pass = B * (R * K + T) + B * H * 2  # gathers + scatter RMWs
     rows_iter = passes_per_iter * sparse_rows_pass
     ns_per_row = iter_s * 1e9 / max(rows_iter, 1)
     peaks, kind = _chip_peaks()
-    row_ns_peak = peaks.get("row_ns")  # None on chips without a measured floor
+    floor = _pass_floor(data, n_lambdas, nt_per_iter, cg_per_iter, iter_s)
     return {
         "passes_per_iter": round(passes_per_iter, 1),
         "model_flops_per_iter": float(f"{flops_iter:.4g}"),
@@ -340,11 +339,72 @@ def _roofline(data, n_lambdas: int, head_dtype_bytes: int,
         "mfu": round(flops_iter / iter_s / peaks["flops"], 5),
         "bw_util": round(bytes_iter / iter_s / peaks["hbm"], 4),
         "ns_per_sparse_row": round(ns_per_row, 2),
-        "row_rate_util": (round(row_ns_peak / max(ns_per_row, row_ns_peak),
-                                3) if row_ns_peak else None),
+        "pass_floor": floor,
         "chip": kind,
-        "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"],
-                  "row_ns_measured_floor": row_ns_peak},
+        "peaks": {"flops": peaks["flops"], "hbm": peaks["hbm"]},
+    }
+
+
+def _pass_floor(data, n_lambdas: int, nt_per_iter: float, cg_per_iter: float,
+                iter_s: float) -> dict:
+    """Probe-derived speed-of-light for one ADMM iteration, from the measured
+    per-pass table (tools/pass_floors.json, written by
+    `tools/pass_microbench.py --floors` on-chip in the trainer's flat-blocks
+    layout). Composition per the run's actual trip counts:
+
+        floor = fun_grad_diag + nt*(xv + fused_xtv_diag) + cg*hv
+
+    (grad_norm_at_zero is loop-invariant — hoisted, ROADMAP 4c). This
+    replaced the retired single row-rate floor, which round-3 probes showed
+    was a dispatch artifact: the honest cost center is the sorted
+    segment-sum reduce, and it is only measurable per pass. When the table
+    was measured at a different shape, each pass scales linearly by the
+    streamed-element count (B*(R*K + R*H + T) * L) and the result is marked
+    `scaled` — indicative, not exact."""
+    path = os.environ.get(
+        "BENCH_FLOORS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "pass_floors.json"))
+    try:
+        with open(path) as f:
+            tab = json.load(f)
+    except (OSError, ValueError):
+        return {"floor_iter_s": None, "util": None,
+                "source": "no pass_floors.json — run "
+                          "tools/pass_microbench.py --floors on-chip"}
+    import jax
+    plat = jax.devices()[0].platform
+    if tab.get("platform") != plat:
+        return {"floor_iter_s": None, "util": None,
+                "source": f"pass_floors.json measured on "
+                          f"{tab.get('platform')}, running on {plat}"}
+    B = data.nblocks
+    R = data.indices.shape[1]
+    K = data.indices.shape[2]
+    H = data.head.shape[2] if data.head is not None else 0
+    T = (data.tail_vals.shape[1]
+         if getattr(data, "tail_vals", None) is not None else 0)
+    elems = B * (R * K + R * H + T) * n_lambdas
+    s = tab["shape"]
+    elems_tab = (s["blocks"] * (s["rows"] * s["ell_k"]
+                                + s["rows"] * s["head"]
+                                + s["tail_nnz_per_block"]) * s["lambdas"])
+    scale = elems / max(elems_tab, 1)
+    exact = (abs(scale - 1.0) < 1e-9
+             and (s["features"], s["blocks"], s["rows"], s["lambdas"])
+             == (data.dim, B, R, n_lambdas))
+    fl = tab["floors_ms"]
+    floor_ms = scale * (fl["fun_grad_diag"]
+                        + nt_per_iter * (fl["xv"] + fl["fused_xtv_diag"])
+                        + cg_per_iter * fl["hv"])
+    floor_s = floor_ms / 1e3
+    return {
+        "floor_iter_s": round(floor_s, 5),
+        "util": round(floor_s / iter_s, 3) if iter_s > 0 else None,
+        "source": ("measured@shape" if exact
+                   else f"scaled x{scale:.3g} from {s}"),
+        "chip": tab.get("chip"),
+        "floors_ms": fl,
     }
 
 
@@ -902,7 +962,8 @@ def bench_admm():
     # both outputs) + 2/CG trip (Hv)
     passes = (3.5 + 2.5 * nt_total / iters + 2.0 * cg_total / iters)
     roof = _roofline(trainer.data, n_lambdas, head_bytes, passes,
-                     steady_iter_s)
+                     steady_iter_s, nt_per_iter=nt_total / iters,
+                     cg_per_iter=cg_total / iters)
 
     _RESULT = {
         "metric": "admm_iterations_per_s",

@@ -146,3 +146,29 @@ def test_bench_charged_seconds_excludes_acquire_wait():
     finally:
         bench._ACQUIRE_EXCLUDED = 0.0
         bench._ACQUIRE_BLOCK_T0 = None
+
+
+@pytest.mark.slow
+def test_bench_pass_floor_from_table(tmp_path):
+    """detail.roofline.pass_floor composes the probe table by the run's trip
+    counts; a table measured at another shape takes the element-scaled path
+    and still yields a positive utilization."""
+    floors = {
+        "chip": "cpu-test", "platform": "cpu", "layout": "flat-blocks",
+        "shape": {"features": 1000, "blocks": 2, "rows": 256, "nnz": 5,
+                  "lambdas": 2, "head": 32, "tail_nnz_per_block": 600,
+                  "ell_k": 0},
+        "floors_ms": {"xv": 0.1, "xtv": 0.1, "fused_xtv_diag": 0.15,
+                      "hv": 0.2, "fun_grad_diag": 0.25},
+        "null_loop_ms": 0.01, "loop_trips": 50,
+    }
+    fpath = tmp_path / "floors.json"
+    fpath.write_text(json.dumps(floors))
+    parsed = _run_bench(tmp_path, {"BENCH_DEADLINE": "0",
+                                   "BENCH_SKIP_CONV": "1",
+                                   "BENCH_FLOORS": str(fpath)})
+    pf = parsed[-1]["detail"]["roofline"]["pass_floor"]
+    assert pf["floor_iter_s"] > 0
+    assert pf["util"] > 0
+    assert pf["source"].startswith(("scaled", "measured"))
+    assert "row_rate_util" not in parsed[-1]["detail"]["roofline"]

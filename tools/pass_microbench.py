@@ -290,5 +290,114 @@ def main():
                       "detail": {"passes_ms": res, "shapes": shapes}}))
 
 
+def measure_floors(out_path: str | None = None):
+    """Measure the FLAT-blocks per-pass times exactly as the trainer's
+    default layout runs them (stack_blocks over all B blocks, one program)
+    and write tools/pass_floors.json — the probe-derived speed-of-light
+    table bench.py's roofline checks utilization against.
+
+    This replaces the retired single `row_ns` floor: round-3 probes showed
+    the 9-12 ns/row gather-floor attributions were DISPATCH artifacts (raw
+    gather is ~2.7 ns/row and locality-insensitive; the sorted segment-sum
+    reduce dominates the tail pass), so the honest floor is the measured
+    per-pass cost of each primitive at the bench shape, composed per the
+    trip counts of the actual run:
+
+        floor_iter = fun_grad_diag            (fused f/g/D at W0)
+                   + newton_trips * (xv + fused_xtv_diag)
+                   + cg_trips * hv
+        (grad_norm_at_zero is loop-invariant — XLA hoists it, ROADMAP 4c)
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    import jax
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
+    import jax.numpy as jnp
+
+    from bench import synth_blocked_data
+    from mlease_tpu.core.dataset import to_hybrid
+    from mlease_tpu.ops import tron_multi as tm
+
+    n_features = int(os.environ.get("BENCH_FEATURES", 50_000))
+    rows = int(os.environ.get("BENCH_ROWS", 16_384))
+    nnz = int(os.environ.get("BENCH_NNZ", 15))
+    L = int(os.environ.get("BENCH_LAMBDAS", 3))
+    head = int(os.environ.get("BENCH_HEAD", 512))
+    B = int(os.environ.get("BENCH_BLOCKS", 4))
+
+    data, _ = synth_blocked_data(n_features, B, rows, nnz)
+    data = to_hybrid(data, head)
+    n = data.dim
+    dt = jnp.float32
+
+    head_tuple = (jnp.asarray(data.head, dt), jnp.asarray(data.head_ids),
+                  jnp.asarray(data.tail_rows), jnp.asarray(data.tail_cols),
+                  jnp.asarray(data.tail_vals, dt),
+                  jnp.asarray(data.tail_c_rows), jnp.asarray(data.tail_c_cols),
+                  jnp.asarray(data.tail_c_vals, dt))
+    prob = tm.stack_blocks(
+        jnp.asarray(data.indices), jnp.asarray(data.values, dt),
+        jnp.asarray(data.y, dt), jnp.asarray(data.weight, dt),
+        jnp.asarray(data.offset, dt),
+        head_tuple, jnp.zeros((L, B, n), dt), jnp.ones((L,), dt))
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(B * n, L)) * 0.1, dt)
+    C = jnp.asarray(rng.normal(size=(B * rows, L)), dt)
+    Dm = jnp.asarray(rng.random((B * rows, L)) * 0.25, dt)
+    TINY = jnp.asarray(1e-30, dt)
+
+    def chain(fn):
+        return lambda x: x.at[0, 0].add(jnp.sum(fn(x)) * TINY)
+
+    null = _time_loop(chain(lambda w: jnp.zeros((), dt)), W)
+
+    def t(step, x0):
+        return max(_time_loop(step, x0) - null, 0.0)
+
+    floors_ms = {
+        "xv": t(chain(lambda w: tm.xv(prob, w)), W) * 1e3,
+        "xtv": t(chain(lambda c: tm.xtv(prob, c)), C) * 1e3,
+        "fused_xtv_diag": t(
+            chain(lambda c: sum(jnp.sum(o) for o in
+                                tm.xtv_and_sqdiag(prob, c, Dm))), C) * 1e3,
+        "hv": t(chain(lambda s: tm.hv(prob, Dm, s)), W) * 1e3,
+        "fun_grad_diag": t(
+            chain(lambda w: sum(jnp.sum(o) for o in
+                                tm.fun_grad_curvature(
+                                    prob, w, with_diag=True))), W) * 1e3,
+    }
+    floors_ms = {k: round(v, 4) for k, v in floors_ms.items()}
+    out = {
+        "chip": getattr(jax.devices()[0], "device_kind", str(jax.devices()[0])),
+        "platform": jax.devices()[0].platform,
+        "layout": "flat-blocks",
+        "shape": {"features": n_features, "blocks": B, "rows": rows,
+                  "nnz": nnz, "lambdas": L, "head": head,
+                  "tail_nnz_per_block": int(data.tail_rows.shape[1]),
+                  "ell_k": int(data.indices.shape[2])},
+        "floors_ms": floors_ms,
+        "null_loop_ms": round(null * 1e3, 4),
+        "loop_trips": N_TRIPS,
+    }
+    if out_path is None:
+        out_path = os.environ.get(
+            "PASS_FLOORS_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "pass_floors.json"))
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": "pass_floors", "value": floors_ms["hv"],
+                      "unit": f"ms per flat-{B}-block hv pass",
+                      "vs_baseline": 0.0, "detail": out}))
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    if "--floors" in sys.argv:
+        measure_floors()
+    else:
+        main()
