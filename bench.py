@@ -1157,24 +1157,11 @@ def bench_streaming():
                                    resident_head_budget_gb=budget_gb)
     residency = trainer.residency_report()   # ACTUAL pinned state
 
-    # host->device DATA bytes actually wired per iteration: row arrays +
-    # both host-precomputed tail triplets; pinned tiers never re-ship
-    def _wire(gi, g):
-        if gi in trainer._resident_groups:
-            return 0
-        b = sum(int(getattr(g, f).nbytes)
-                for f in ("indices", "values", "y", "weight", "offset",
-                          "present", "tail_rows", "tail_cols", "tail_vals")
-                if getattr(g, f, None) is not None)
-        if gi not in trainer._resident_ctails:
-            b += sum(int(getattr(g, f).nbytes)
-                     for f in ("tail_c_rows", "tail_c_cols", "tail_c_vals")
-                     if getattr(g, f, None) is not None)
-        if gi not in trainer._resident_heads and g.head is not None:
-            b += int(g.head.nbytes)
-        return b
-
-    wire_bytes = sum(_wire(gi, g) for gi, g in enumerate(trainer.groups))
+    # host->device DATA bytes actually wired per iteration (pinned tiers
+    # never re-ship; compact-wire groups ship COO heads + one tail layout
+    # plus the permutation — see train/streaming.py stream_wire_bytes)
+    wire_bytes = trainer.stream_wire_bytes()
+    wire_dense_bytes = trainer._dense_wire_bytes()
     # consensus traffic: zero when device-resident; otherwise u up + x down
     # per group plus the z-update round trip per iteration
     L = n_lambdas
@@ -1209,6 +1196,8 @@ def bench_streaming():
             "residency": residency,
             "budget_gb": round(budget_gb, 4),
             "data_streamed_mb_per_iter": round(wire_bytes / (1 << 20), 1),
+            "data_streamed_dense_mb_per_iter": round(
+                wire_dense_bytes / (1 << 20), 1),
             "consensus_mb_per_iter": round(consensus_bytes / (1 << 20), 1),
             "maxdiff_last": (res.diff_history[-1]
                              if res.diff_history else None),

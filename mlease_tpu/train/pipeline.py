@@ -328,6 +328,7 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
 
         rh = config.get_string("streaming.resident.head", "auto")
         cd = config.get_string("streaming.consensus.device", "auto")
+        cw = config.get_string("streaming.wire", "auto")
         s_trainer = StreamingAdmmTrainer(
             split_blocks(data, streaming_groups), vocab, cfg,
             test_rows=test_rows, mesh=mesh,
@@ -336,7 +337,11 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             resident_head_budget_gb=config.get_float(
                 "streaming.resident.head.gb", 8.0),
             consensus_device={"auto": "auto", "true": True,
-                              "false": False}[cd])
+                              "false": False}[cd],
+            # compact|dense|auto: COO-head + permutation-derived tail wire
+            # (train/streaming.py _head_coo) — auto enables off-mesh
+            compact_wire={"auto": "auto", "compact": True,
+                          "dense": False}[cw])
         s_kwargs: dict[str, Any] = {"z0": z0}
         if config.get_boolean("resume", False):
             state = ckpt.load_latest(ckpt_dir)

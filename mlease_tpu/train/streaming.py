@@ -95,6 +95,65 @@ def _ctail_bytes(g) -> int:
                if getattr(g, f, None) is not None)
 
 
+# ---- compact wire format (host->device transfer compression) ----------
+# The per-iteration transfer of a streamed group is wire-bandwidth bound
+# (on the tunneled chip ~40-80 MB/s effective; even on local PCIe it is
+# the >HBM mode's floor). Two exact, bit-parity re-encodings shrink it:
+#
+#   * the dense (B, R, H) head is ~96% zeros (only nonzeros on the H
+#     hottest columns land in it) — ship its COO triplet (int32 flat row,
+#     uint8 head column, head-dtype value: 7 B/nnz vs 2 B x H/row dense)
+#     and scatter into the dense form on device;
+#   * the two tail layouts (row-sorted + column-sorted, 24 B/nnz) are the
+#     same triplet in two orders — ship the column-sorted one plus the
+#     int32 inverse permutation (16 B/nnz) and gather the row-sorted
+#     copy on device (exact: a permutation of identical values; with the
+#     column-sorted triplet pinned in HBM, only the 4 B/nnz permutation
+#     ships).
+#
+# Reconstruction is jitted and dispatches async like the puts, so it
+# overlaps the in-flight solve exactly as the raw transfers did.
+# Single-device only (under a mesh the rebuilt arrays would need sharded
+# scatter/gather); no counterpart in the reference — its per-iteration
+# re-read is the HDFS stream in RegressionAdmmTrain.java:677-690.
+
+def _head_coo(head) -> tuple:
+    """Host-side COO of the dense head (once at construction)."""
+    B, R, H = head.shape
+    b, r, h = np.nonzero(head != 0)
+    rows = (b.astype(np.int64) * R + r).astype(np.int32)
+    cols = h.astype(np.uint8 if H <= 256 else np.int32)
+    return rows, cols, head[b, r, h]
+
+
+def _tail_inv_perm(tail_cols) -> np.ndarray:
+    """Per-block inverse of the stable column sort: row-sorted tail =
+    column-sorted tail indexed by this permutation (exactly — same argsort
+    as core/dataset.to_hybrid builds the tail_c_* copy with)."""
+    B, T = tail_cols.shape
+    inv = np.empty((B, T), np.int32)
+    ar = np.arange(T, dtype=np.int32)
+    for b in range(B):
+        ordc = np.argsort(tail_cols[b], kind="stable")
+        inv[b, ordc] = ar
+    return inv
+
+
+@jax.jit
+def _gather_row_sorted(tc_rows, tc_cols, tc_vals, inv):
+    take = lambda a: jnp.take_along_axis(a, inv, axis=1)  # noqa: E731
+    return take(tc_rows), take(tc_cols), take(tc_vals)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _scatter_head_dense(hrows, hcols, hvals, shape):
+    B, R, H = shape
+    flat = jnp.zeros((B * R, H), hvals.dtype)
+    flat = flat.at[hrows, hcols.astype(jnp.int32)].set(
+        hvals, unique_indices=True)
+    return flat.reshape(B, R, H)
+
+
 @jax.jit
 def _sort_tail_by_column(rows, cols, vals):
     """Column-sorted copy of a (B, T) COO tail, computed ON DEVICE.
@@ -282,7 +341,8 @@ class StreamingAdmmTrainer:
                  config: AdmmConfig, test_rows=None, mesh=None,
                  resident_head: str | bool = "auto",
                  resident_head_budget_gb: float = 8.0,
-                 consensus_device: str | bool = "auto"):
+                 consensus_device: str | bool = "auto",
+                 compact_wire: str | bool = "auto"):
         if config.dual_layout:
             raise NotImplementedError(
                 "dual layout in streaming mode: the CSC arrays double the "
@@ -385,6 +445,7 @@ class StreamingAdmmTrainer:
         self._resident_heads: dict[int, tuple] = {}
         self._resident_groups: dict[int, tuple] = {}
         self._resident_ctails: dict[int, tuple] = {}
+        self._wire: dict[int, dict] = {}   # populated after the ladder
         if self.use_head and resident_head in ("auto", True):
             budget = budget_gb * (1 << 30)
             pinned = 0
@@ -433,6 +494,37 @@ class StreamingAdmmTrainer:
                 consensus_bytes / (1 << 30),
                 "device-resident" if self._consensus_device
                 else "host-resident")
+        # ---- compact wire format (see _head_coo/_tail_inv_perm) -------
+        # built AFTER the residency ladder: pinned tiers never re-ship, so
+        # only streamed components get a compact encoding
+        if compact_wire is True and mesh is not None:
+            raise ValueError("compact_wire=True requires a single device "
+                             "(the rebuilt arrays would need sharded "
+                             "scatter/gather under a mesh)")
+        if (self.use_head and mesh is None
+                and (compact_wire is True or compact_wire == "auto")):
+            for gi, g in enumerate(self.groups):
+                if gi in self._resident_groups:
+                    continue
+                w: dict = {}
+                if gi not in self._resident_heads:
+                    hrows, hcols, hvals = _head_coo(g.head)
+                    coo_b = hrows.nbytes + hcols.nbytes + hvals.nbytes
+                    # only a win while the head is actually sparse
+                    if coo_b < int(g.head.nbytes) // 2:
+                        w["head_coo"] = (hrows, hcols, hvals)
+                if g.tail_c_cols is not None:
+                    w["tail_inv"] = _tail_inv_perm(g.tail_cols)
+                if w:
+                    self._wire[gi] = w
+            if self._wire:
+                logger.info(
+                    "compact wire: %d/%d streamed groups re-encoded "
+                    "(%.2f GB -> %.2f GB per iteration)",
+                    len(self._wire), len(self.groups),
+                    self._dense_wire_bytes() / (1 << 30),
+                    self.stream_wire_bytes() / (1 << 30))
+
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
             use_head=self.use_head,
@@ -477,8 +569,61 @@ class StreamingAdmmTrainer:
             "heads_pinned": len(self._resident_heads),
             "full_groups_pinned": len(self._resident_groups),
             "sorted_tails_pinned": len(self._resident_ctails),
+            "compact_wire_groups": len(self._wire),
             "n_groups": len(self.groups),
         }
+
+    def _dense_wire_bytes(self) -> int:
+        """Per-iteration host->device bytes WITHOUT compact re-encoding
+        (pinned tiers still excluded) — the comparison baseline."""
+        total = 0
+        for gi, g in enumerate(self.groups):
+            if gi in self._resident_groups:
+                continue
+            for f in ("indices", "values", "y", "weight", "offset",
+                      "present", "tail_rows", "tail_cols", "tail_vals"):
+                a = getattr(g, f, None)
+                if a is not None:
+                    total += int(a.nbytes)
+            if gi not in self._resident_ctails:
+                total += _ctail_bytes(g)
+            if self.use_head and gi not in self._resident_heads:
+                total += int(g.head.nbytes) + int(g.head_ids.nbytes)
+        return total
+
+    def stream_wire_bytes(self) -> int:
+        """Actual per-iteration host->device bytes: pinned tiers never
+        re-ship; compact-wire groups ship COO heads and one tail layout
+        plus the permutation instead of two layouts."""
+        total = 0
+        for gi, g in enumerate(self.groups):
+            if gi in self._resident_groups:
+                continue
+            w = self._wire.get(gi, {})
+            for f in ("indices", "values", "y", "weight", "offset",
+                      "present"):
+                a = getattr(g, f, None)
+                if a is not None:
+                    total += int(a.nbytes)
+            # tails: compact wire derives the row-sorted copy from the
+            # column-sorted triplet (pinned or shipped) + the permutation
+            if "tail_inv" in w:
+                total += int(w["tail_inv"].nbytes)
+            else:
+                total += sum(int(getattr(g, f).nbytes)
+                             for f in ("tail_rows", "tail_cols",
+                                       "tail_vals")
+                             if getattr(g, f, None) is not None)
+            if gi not in self._resident_ctails:
+                total += _ctail_bytes(g)
+            if not self.use_head or gi in self._resident_heads:
+                continue
+            if "head_coo" in w:
+                total += sum(int(a.nbytes) for a in w["head_coo"])
+                total += int(g.head_ids.nbytes)
+            else:
+                total += int(g.head.nbytes) + int(g.head_ids.nbytes)
+        return total
 
     def sample_loglik(self, z) -> np.ndarray:
         idx, val, y, w, off = self.test_arrays
@@ -501,15 +646,27 @@ class StreamingAdmmTrainer:
         put_b, put_r = self._put_b, self._put_r
         head = (None,) * 8
         if self.use_head:
-            t_rows, t_cols = put_b(g.tail_rows), put_b(g.tail_cols)
-            t_vals = put_b(g.tail_vals)
+            w = self._wire.get(gi, {})
             if gi in self._resident_ctails:
                 tc_rows, tc_cols, tc_vals = self._resident_ctails[gi]
             else:
                 tc_rows, tc_cols = put_b(g.tail_c_rows), put_b(g.tail_c_cols)
                 tc_vals = put_b(g.tail_c_vals)
+            if "tail_inv" in w:
+                # row-sorted copy derived ON DEVICE: exact permutation of
+                # the column-sorted triplet, 4 B/nnz wire instead of 12
+                t_rows, t_cols, t_vals = _gather_row_sorted(
+                    tc_rows, tc_cols, tc_vals, put_b(w["tail_inv"]))
+            else:
+                t_rows, t_cols = put_b(g.tail_rows), put_b(g.tail_cols)
+                t_vals = put_b(g.tail_vals)
             if gi in self._resident_heads:
                 head_x, head_ids = self._resident_heads[gi]
+            elif "head_coo" in w:
+                hrows, hcols, hvals = w["head_coo"]
+                head_x = _scatter_head_dense(put_b(hrows), put_b(hcols),
+                                             put_b(hvals), g.head.shape)
+                head_ids = put_r(g.head_ids)
             else:
                 head_x, head_ids = put_b(g.head), put_r(g.head_ids)
             head = (head_x, head_ids,

@@ -364,3 +364,81 @@ def test_streaming_resume_matches_uninterrupted():
         inner_eps0=state["inner_eps"], mindiff0=state["mindiff"])
     np.testing.assert_allclose(resumed.z, full.z, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(resumed.u, full.u, rtol=1e-9, atol=1e-12)
+
+
+def test_compact_wire_bit_parity_and_accounting():
+    """COO-head + permutation-tail wire must be EXACT: the reconstructed
+    device arrays are bitwise the host arrays, so the full run's z matches
+    the dense-wire run bit for bit; the accounting must report a strictly
+    smaller per-iteration wire."""
+    rng = np.random.default_rng(21)
+    rows = synth_rows(rng, 400)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+                     multi_rhs=True, head_size=4, flat_blocks=False)
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    t_dense = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False,
+                                   compact_wire=False)
+    t_coo = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False,
+                                 compact_wire=True)
+    assert set(t_coo._wire) == {0, 1}
+    assert t_coo.stream_wire_bytes() < t_dense.stream_wire_bytes()
+    assert t_coo.residency_report()["compact_wire_groups"] == 2
+
+    # reconstructed group tuple == dense-path group tuple, bit for bit
+    d = t_dense._put_group(0, jnp.float64)
+    c = t_coo._put_group(0, jnp.float64)
+    for a, b in zip(d[5], c[5]):  # the 8-tuple of hybrid head/tail arrays
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_array_equal(np.asarray(t_dense.run().z),
+                                  np.asarray(t_coo.run().z))
+
+
+def test_compact_wire_with_pinned_ctails_ships_only_perm():
+    """With the column-sorted tails pinned (tier 3), a compact-wire group
+    ships only the permutation + COO head + row arrays."""
+    rng = np.random.default_rng(22)
+    rows = synth_rows(rng, 240)
+    vocab = build_vocab(rows)
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=2, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True)
+    groups = [pack_blocks([rows[:120]], vocab),
+              pack_blocks([rows[120:]], vocab)]
+    probe = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False)
+    from mlease_tpu.train.streaming import _ctail_bytes
+    head_b = sum(g.head.nbytes + g.head_ids.nbytes for g in probe.groups)
+    ctail_b = sum(_ctail_bytes(g) for g in probe.groups)
+    budget = (head_b + ctail_b + 1) / (1 << 30)
+    t = StreamingAdmmTrainer(groups, vocab, cfg, resident_head="auto",
+                             resident_head_budget_gb=budget)
+    assert len(t._resident_ctails) == len(groups)
+    wire = t.stream_wire_bytes()
+    # perm is 4 B/nnz; the two tail layouts it replaces are 24 B/nnz
+    dense = t._dense_wire_bytes()
+    assert wire < dense
+    # and the run still matches the fully-dense-wire trainer bitwise
+    t0 = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False,
+                              compact_wire=False)
+    np.testing.assert_array_equal(np.asarray(t.run().z),
+                                  np.asarray(t0.run().z))
+
+
+def test_compact_wire_requires_single_device():
+    rng = np.random.default_rng(23)
+    rows = synth_rows(rng, 100)
+    vocab = build_vocab(rows)
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=1, dtype=jnp.float64,
+                     head_size=4, multi_rhs=True)
+    groups = [pack_blocks([rows[:50]], vocab), pack_blocks([rows[50:]], vocab)]
+    import jax
+    from mlease_tpu.parallel import make_mesh
+    mesh = make_mesh(jax.devices(), n=2)
+    with pytest.raises(ValueError, match="single device"):
+        StreamingAdmmTrainer(groups, vocab, cfg, mesh=mesh,
+                             compact_wire=True)
+    # auto under a mesh: silently stays dense
+    t = StreamingAdmmTrainer(groups, vocab, cfg, mesh=mesh,
+                             compact_wire="auto")
+    assert not t._wire
