@@ -197,8 +197,15 @@ def pack_blocks(block_rows: Sequence[Sequence[Mapping]], vocab, *,
 
 def to_hybrid(data: BlockedData, head_size: int, *,
               nnz_multiple: int = 8,
-              column_sorted: bool = True) -> BlockedData:
+              column_sorted: bool = True,
+              head_dtype=None) -> BlockedData:
     """Split a packed dataset into dense-head + sparse-tail hybrid layout.
+
+    head_dtype: store the dense head in this dtype (e.g. bfloat16) instead
+    of the values dtype. At 100M-row scale the f32 head is the largest
+    single host allocation (~51 GB); building-then-casting per call keeps
+    the peak at one group's f32 head instead of all of them (the streaming
+    trainer's later dtype normalization then no-ops on the head).
 
     head_ids = the `head_size` most frequent columns across all blocks
     (weighted by nonzero count; the intercept's bias column is in every row,
@@ -261,6 +268,8 @@ def to_hybrid(data: BlockedData, head_size: int, *,
             tc_cols[b] = tail_cols[b][ordc]
             tc_vals[b] = tail_vals[b][ordc]
 
+    if head_dtype is not None and head.dtype != np.dtype(head_dtype):
+        head = np.asarray(head, head_dtype)
     empty = np.zeros((B, R, 0))
     return data._replace(indices=empty.astype(np.int32),
                          values=empty.astype(data.values.dtype),

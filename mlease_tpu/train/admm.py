@@ -380,18 +380,30 @@ class AdmmTrainer:
         self.rhos = config.resolved_rhos()
 
         # device arrays --------------------------------------------------
-        indices = jnp.asarray(data.indices)
-        values = jnp.asarray(data.values, dtype)
-        y = jnp.asarray(data.y, dtype)
-        weight = jnp.asarray(data.weight, dtype)
+        # Under a mesh, sources stay NUMPY so shard_blocked_arrays /
+        # device_put place them straight into their sharded layout: a
+        # single-device jnp.asarray first would make device_put re-shard
+        # FROM a device array — a `_value` fetch that doubles the transfer
+        # and can deadlock flakily against the multi-virtual-device CPU
+        # client's dispatch queue (observed: dryrun_multichip(16) hangs in
+        # shard_device_array on a 2-core host).
+        xp = np if mesh is not None else jnp
+
+        def arr(a, t=None):
+            return xp.asarray(a) if t is None else xp.asarray(a, t)
+
+        indices = arr(data.indices)
+        values = arr(data.values, dtype)
+        y = arr(data.y, dtype)
+        weight = arr(data.weight, dtype)
         if config.positive_weight != 1.0:
-            weight = jnp.where(y == 1, config.positive_weight * weight, weight)
-        offset = jnp.asarray(data.offset, dtype)
-        present = jnp.asarray(data.present)
-        block_valid = jnp.asarray(block_valid, dtype)
+            weight = xp.where(y == 1, config.positive_weight * weight, weight)
+        offset = arr(data.offset, dtype)
+        present = arr(data.present)
+        block_valid = arr(block_valid, dtype)
 
         # per-block class-balance tolerance factors (LibLinear.java:309-313)
-        eps_scale = jnp.asarray(
+        eps_scale = arr(
             obj.class_balance_eps_scale(data.y, data.nrows), dtype)
 
         # optional column-sorted dual layout (gather-based X'v)
@@ -399,7 +411,7 @@ class AdmmTrainer:
         if config.dual_layout:
             from mlease_tpu.core.dataset import csc_arrays
             cc, cr, cv = csc_arrays(data)
-            csc = (jnp.asarray(cc), jnp.asarray(cr), jnp.asarray(cv, dtype))
+            csc = (arr(cc), arr(cr), arr(cv, dtype))
 
         # optional dense-head hybrid (dense head + flat-COO tail, both
         # row-sorted and column-sorted tail copies)
@@ -407,14 +419,14 @@ class AdmmTrainer:
         if data.head is not None:
             head_dtype = (config.head_dtype if config.head_dtype is not None
                           else dtype)
-            head = (jnp.asarray(data.head, head_dtype),
-                    jnp.asarray(data.head_ids),
-                    jnp.asarray(data.tail_rows),
-                    jnp.asarray(data.tail_cols),
-                    jnp.asarray(data.tail_vals, dtype),
-                    jnp.asarray(data.tail_c_rows),
-                    jnp.asarray(data.tail_c_cols),
-                    jnp.asarray(data.tail_c_vals, dtype))
+            head = (arr(data.head, head_dtype),
+                    arr(data.head_ids),
+                    arr(data.tail_rows),
+                    arr(data.tail_cols),
+                    arr(data.tail_vals, dtype),
+                    arr(data.tail_c_rows),
+                    arr(data.tail_c_cols),
+                    arr(data.tail_c_vals, dtype))
 
         if mesh is not None:
             from mlease_tpu.parallel.mesh import shard_blocked_arrays, block_sharding
@@ -731,17 +743,24 @@ class AdmmTrainer:
         if cfg.regularizer not in (1, 2):
             raise ValueError("Only L1 and L2 regularization supported!")
 
-        z = (jnp.zeros((L, n), dtype) if z0 is None
-             else jnp.asarray(np.broadcast_to(z0, (L, n)), dtype))
+        # NUMPY sources under a mesh — device_put from a single-device jax
+        # array re-shards through a `_value` fetch that can deadlock against
+        # the multi-virtual-device CPU client (see __init__'s note)
+        xp = np if self.mesh is not None else jnp
+        z = (xp.zeros((L, n), dtype) if z0 is None
+             else xp.asarray(np.broadcast_to(z0, (L, n)), dtype))
         if u0 is None:
-            u = jnp.zeros((L, self.data.nblocks, n), dtype)
+            u = xp.zeros((L, self.data.nblocks, n), dtype)
         else:
-            u = jnp.zeros((L, self.data.nblocks, n), dtype
-                          ).at[:, :u0.shape[1], :].set(jnp.asarray(u0, dtype))
+            u_np = np.zeros((L, self.data.nblocks, n), dtype)
+            u_np[:, :u0.shape[1], :] = np.asarray(u0, dtype)
+            u = u_np if self.mesh is not None else jnp.asarray(u_np, dtype)
         if self.mesh is not None:
             from mlease_tpu.parallel.mesh import block_sharding, replicated
             z = jax.device_put(z, replicated(self.mesh))
             u = jax.device_put(u, block_sharding(self.mesh, 1))
+        else:
+            z, u = jnp.asarray(z, dtype), jnp.asarray(u, dtype)
 
         inner_eps = (cfg.liblinear_epsilon if inner_eps0 is None
                      else float(inner_eps0))

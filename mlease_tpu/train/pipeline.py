@@ -166,6 +166,9 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                         decoded, row_ids, partitions, weights, vocab)
                 logger.info("native ingest: %d rows, %d features",
                             int(data.nrows.sum()), data.dim)
+                # free the columnar decode buffers (~10 GB at 100M rows)
+                # before the hybrid/group conversions allocate their peak
+                del decoded, row_ids, partitions, weights
             except Exception as e:  # fall back to the reference path
                 logger.warning("native ingest failed (%s); python path", e)
                 data = None
@@ -329,8 +332,11 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         rh = config.get_string("streaming.resident.head", "auto")
         cd = config.get_string("streaming.consensus.device", "auto")
         cw = config.get_string("streaming.wire", "auto")
+        groups = split_blocks(data, streaming_groups)
+        del data   # groups hold views; dropping the name lets the ELL pack
+        #            free once every group converts to hybrid layout
         s_trainer = StreamingAdmmTrainer(
-            split_blocks(data, streaming_groups), vocab, cfg,
+            groups, vocab, cfg,
             test_rows=test_rows, mesh=mesh,
             resident_head={"auto": "auto", "true": True,
                            "false": False}[rh],
@@ -342,6 +348,8 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             # (train/streaming.py _head_coo) — auto enables off-mesh
             compact_wire={"auto": "auto", "compact": True,
                           "dense": False}[cw])
+        del groups  # the trainer holds the hybrid groups; dropping the
+        #             view-groups here releases the original ELL pack
         s_kwargs: dict[str, Any] = {"z0": z0}
         if config.get_boolean("resume", False):
             state = ckpt.load_latest(ckpt_dir)

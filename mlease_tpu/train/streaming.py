@@ -347,37 +347,46 @@ class StreamingAdmmTrainer:
             raise NotImplementedError(
                 "dual layout in streaming mode: the CSC arrays double the "
                 "per-iteration PCIe transfer; use the HBM-resident trainer")
-        if config.head_size > 0:
-            from mlease_tpu.core.dataset import to_hybrid
-            # column_sorted=True: the sorted-tail copy is derived ONCE on
-            # the host — the round-2 design derived it on device EVERY
-            # iteration (a vmapped stable argsort of iteration-invariant
-            # data; the measured streaming floor at wide-feature shapes)
-            groups = [to_hybrid(g, config.head_size, column_sorted=True)
-                      if g.head is None else g
-                      for g in groups]
         # one-time wire-format normalization: value arrays convert to the
         # compute dtype (and the dense head to head_dtype — e.g. bfloat16
         # halves the head's wire bytes, by far the largest transfer) ONCE
         # here instead of per transfer per iteration; _put_group ships
-        # arrays exactly as stored
+        # arrays exactly as stored.
+        # IN PLACE, group by group: at the 100M shape the hybrid heads are
+        # the largest host allocation — converting via list comprehensions
+        # would hold every group's pre-conversion arrays alive until the
+        # whole list is rebuilt (observed ~2x peak RSS at 25M rows).
         def _conv(a, t):
             if a is None:
                 return None
             return a if a.dtype == t else np.asarray(a, t)
 
         dt, hdt = config.dtype, (config.head_dtype or config.dtype)
-        groups = [g._replace(
-            values=_conv(g.values, dt),
-            y=_conv(g.y, dt), weight=_conv(g.weight, dt),
-            offset=_conv(g.offset, dt), head=_conv(g.head, hdt),
-            tail_vals=_conv(g.tail_vals, dt),
-            tail_c_vals=_conv(g.tail_c_vals, dt)) for g in groups]
+        groups = list(groups)
+        if config.head_size > 0:
+            from mlease_tpu.core.dataset import to_hybrid
+            # column_sorted=True: the sorted-tail copy is derived ONCE on
+            # the host — the round-2 design derived it on device EVERY
+            # iteration (a vmapped stable argsort of iteration-invariant
+            # data; the measured streaming floor at wide-feature shapes).
+            # head_dtype passed down so the dense head is never
+            # materialized at full f32 width across all groups at once.
+            for i, g in enumerate(groups):
+                if g.head is None:
+                    groups[i] = to_hybrid(g, config.head_size,
+                                          column_sorted=True,
+                                          head_dtype=hdt)
+        for i, g in enumerate(groups):
+            groups[i] = g._replace(
+                values=_conv(g.values, dt),
+                y=_conv(g.y, dt), weight=_conv(g.weight, dt),
+                offset=_conv(g.offset, dt), head=_conv(g.head, hdt),
+                tail_vals=_conv(g.tail_vals, dt),
+                tail_c_vals=_conv(g.tail_c_vals, dt))
         # hand-constructed hybrid groups without a host-sorted tail copy:
         # sort once here (np stable argsort per block — identical
         # permutation to core/dataset.to_hybrid)
-        fixed = []
-        for g in groups:
+        for i, g in enumerate(groups):
             if g.tail_cols is not None and g.tail_c_cols is None:
                 B = g.tail_cols.shape[0]
                 tc_r = np.empty_like(g.tail_rows)
@@ -388,10 +397,8 @@ class StreamingAdmmTrainer:
                     tc_r[b] = g.tail_rows[b][order]
                     tc_c[b] = g.tail_cols[b][order]
                     tc_v[b] = g.tail_vals[b][order]
-                g = g._replace(tail_c_rows=tc_r, tail_c_cols=tc_c,
-                               tail_c_vals=tc_v)
-            fixed.append(g)
-        groups = fixed
+                groups[i] = g._replace(tail_c_rows=tc_r, tail_c_cols=tc_c,
+                                       tail_c_vals=tc_v)
         # consensus divisor = real blocks only (padding masked below)
         self.nblocks = sum(g.nblocks for g in groups)
         self.real_nblocks = [g.nblocks for g in groups]
