@@ -126,6 +126,22 @@ def _head_coo(head) -> tuple:
     return rows, cols, head[b, r, h]
 
 
+def _device_hbm_bytes() -> int:
+    """Device memory capacity (bytes). memory_stats when the backend
+    exposes it; 16 GB (v5e) otherwise, overridable via MLEASE_HBM_GB."""
+    import os
+    env = os.environ.get("MLEASE_HBM_GB")
+    if env:
+        return int(float(env) * (1 << 30))
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * (1 << 30)
+
+
 def _tail_inv_perm(tail_cols) -> np.ndarray:
     """Per-block inverse of the stable column sort: row-sorted tail =
     column-sorted tail indexed by this permutation (exactly — same argsort
@@ -439,6 +455,40 @@ class StreamingAdmmTrainer:
         else:
             self._consensus_device = bool(consensus_device)
         self._u_dev: list | None = None   # built lazily in run()
+
+        # ---- HBM safety cap on the pin budget -------------------------
+        # The pinned tiers share HBM with the DOUBLE-BUFFERED streamed
+        # working set (2 groups in flight), the consensus/dual state, the
+        # per-iteration x slab, and reconstruction transients. A budget
+        # that ignores them OOMs the chip at iteration 1 (observed: the
+        # 100M config's 10 GB budget + 0.72 GB consensus + 2 x 3.7 GB
+        # groups on a 16 GB v5e). Cap the budget so a too-large request
+        # degrades to less pinning instead of a crash.
+        if (self.use_head and resident_head in ("auto", True)
+                and mesh is None
+                and jax.devices()[0].platform != "cpu"):  # host RAM: no cliff
+            group_dev = max(
+                _group_stream_bytes(g) + int(g.head.nbytes)
+                + int(g.head_ids.nbytes) for g in self.groups)
+            x_bytes = L * blocks_total * self.dim * itemsize
+            hbm = _device_hbm_bytes()
+            # transients: one extra dense head (scatter output before the
+            # previous buffer frees) + wire arrays; reserve ~12% of HBM
+            # for XLA scratch/fragmentation
+            slack = int(max(g.head.nbytes for g in self.groups)
+                        + 0.12 * hbm)
+            avail = (hbm - slack - 2 * group_dev - x_bytes
+                     - (consensus_bytes if self._consensus_device else 0))
+            if budget_gb * (1 << 30) > max(avail, 0):
+                logger.warning(
+                    "resident budget %.1f GB exceeds safe HBM headroom "
+                    "%.1f GB (HBM %.1f GB - 2x%.2f GB streamed buffers "
+                    "- %.2f GB consensus+x - %.2f GB slack); capping",
+                    budget_gb, max(avail, 0) / (1 << 30), hbm / (1 << 30),
+                    group_dev / (1 << 30),
+                    (consensus_bytes + x_bytes) / (1 << 30),
+                    slack / (1 << 30))
+                budget_gb = max(avail, 0) / (1 << 30)
 
         # ---- tiered data residency (resident_head_budget_gb) ---------
         #   tier 1 — every group's dense head (the dominant transfer);
