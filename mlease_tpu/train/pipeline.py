@@ -138,11 +138,34 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     # (tests/test_native_ingest.py). Falls back to pure Python otherwise.
     input_paths = config.get_string("input.paths")
     seed = config.get_int("prepare.seed", 0)
+
+    # ---- pack cache (pack.cache.dir, streaming jobs only) ------------
+    # A 100M-row job pays ~50 min of decode + pack + hybrid conversion
+    # before iteration 1; crash/resume pays it again. With pack.cache.dir
+    # set, the post-hybrid groups persist once and reload in ~a disk scan
+    # (mlease_tpu/io/pack_cache.py; keyed by inputs + layout knobs).
+    pack_cache_dir = config.get_string("pack.cache.dir", "")
+    cached_groups = None
+    pc_manifest = None
+    _sg = config.get_int("streaming.groups", 0)
+    if pack_cache_dir and _sg > 1 and cfg.initialize_boost_rate <= 0:
+        from mlease_tpu.io import pack_cache
+        _hdt = np.dtype(cfg.head_dtype if cfg.head_dtype is not None
+                        else cfg.dtype)
+        pc_manifest = pack_cache.build_manifest(
+            avro.enumerate_avro_files(input_paths), nblocks=nblocks,
+            n_groups=_sg, head_size=cfg.head_size, head_dtype=str(_hdt),
+            num_click_replicates=cfg.num_click_replicates, seed=seed,
+            binary_feature=ignore_value)
+        hit = pack_cache.load_groups(pack_cache_dir, pc_manifest)
+        if hit is not None:
+            cached_groups, vocab = hit
     data = None
     input_files = avro.enumerate_avro_files(input_paths)
     use_native = (config.get_boolean("native.ingest", True)
                   and not map_key and len(input_files) >= 1
-                  and cfg.initialize_boost_rate <= 0)  # warm start needs rows
+                  and cfg.initialize_boost_rate <= 0  # warm start needs rows
+                  and cached_groups is None)
     if use_native:
         from mlease_tpu.io import fast_decode
         if fast_decode.is_available():
@@ -172,7 +195,10 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             except Exception as e:  # fall back to the reference path
                 logger.warning("native ingest failed (%s); python path", e)
                 data = None
-    if data is None:
+    if data is None and cached_groups is not None:
+        logger.info("pack cache hit: ingest/pack skipped (%d groups, %d "
+                    "features)", len(cached_groups), cached_groups[0].dim)
+    elif data is None:
         records = avro.read_records(input_paths)
         logger.info("prepare: %d input records", len(records))
         prepared = list(prepare_rows(
@@ -190,9 +216,10 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         vocab = build_vocab((r for _k, r in prepared), has_intercept=True)
         data = pack_blocks(blocks, vocab)
     vocab.save(os.path.join(out_base, "model-vocab.json"))
-    logger.info("packed %d blocks, %d rows padded to (%d, %d), %d features",
-                data.nblocks, int(data.nrows.sum()), data.padded_rows,
-                data.max_nnz, data.dim)
+    if data is not None:
+        logger.info("packed %d blocks, %d rows padded to (%d, %d), "
+                    "%d features", data.nblocks, int(data.nrows.sum()),
+                    data.padded_rows, data.max_nnz, data.dim)
 
     # lambda -> rho map file (RegressionAdmmTrain.java:200-201)
     avro.write_records(
@@ -271,7 +298,8 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     # a reference cluster can inspect or resume mid-run state
     write_train_output = config.get_boolean("write.train.output", False)
     prev_u = {"u": None}
-    nblocks_total = data.nblocks
+    nblocks_total = (data.nblocks if data is not None
+                     else sum(g.nblocks for g in cached_groups))
 
     def _dump_train_output(iteration, z_np, u_np):
         from mlease_tpu.core.linear_model import LinearModel
@@ -332,9 +360,30 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         rh = config.get_string("streaming.resident.head", "auto")
         cd = config.get_string("streaming.consensus.device", "auto")
         cw = config.get_string("streaming.wire", "auto")
-        groups = split_blocks(data, streaming_groups)
-        del data   # groups hold views; dropping the name lets the ELL pack
-        #            free once every group converts to hybrid layout
+        if cached_groups is not None:
+            groups = cached_groups
+            del cached_groups
+        else:
+            groups = split_blocks(data, streaming_groups)
+            del data   # groups hold views; dropping the name lets the ELL
+            #            pack free once every group converts to hybrid
+            if pack_cache_dir and pc_manifest is not None:
+                # convert to hybrid HERE (the trainer then skips groups
+                # that already carry a head) so the cache stores the final
+                # packed layout; in place, group by group, for peak RSS
+                if cfg.head_size > 0:
+                    from mlease_tpu.core.dataset import to_hybrid
+                    _hdt = np.dtype(cfg.head_dtype
+                                    if cfg.head_dtype is not None
+                                    else cfg.dtype)
+                    for _i, _g in enumerate(groups):
+                        if _g.head is None:
+                            groups[_i] = to_hybrid(_g, cfg.head_size,
+                                                   column_sorted=True,
+                                                   head_dtype=_hdt)
+                from mlease_tpu.io import pack_cache
+                pack_cache.save_groups(pack_cache_dir, pc_manifest,
+                                       groups, vocab)
         s_trainer = StreamingAdmmTrainer(
             groups, vocab, cfg,
             test_rows=test_rows, mesh=mesh,

@@ -393,3 +393,79 @@ def test_pipeline_write_train_output_streaming(tmp_path):
     np.testing.assert_allclose(z_ref, result.z[0], rtol=1e-5, atol=1e-7)
     # checkpoints exist too (streaming resume state)
     assert os.path.isdir(os.path.join(out, "checkpoint"))
+
+
+def test_pipeline_pack_cache_roundtrip(tmp_path, caplog):
+    """pack.cache.dir: the second run loads the cached hybrid groups
+    (ingest/pack skipped) and produces a bit-identical result; a changed
+    layout knob invalidates the manifest."""
+    path = "/root/reference/examples/sample-data.avro"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    import logging
+
+    from mlease_tpu.train.pipeline import run_regression_pipeline
+
+    cache = str(tmp_path / "pcache")
+    base = {
+        "input.paths": path,
+        "test.path": path,
+        "num.blocks": "4",
+        "streaming.groups": "2",
+        "head.size": "8",
+        "head.dtype": "bfloat16",
+        "lambda": "1,10",
+        "num.iters": "3",
+        "regularizer": "2",
+        "force.output.overwrite": "true",
+        "dtype": "float64",
+        "prepare.seed": "7",
+        "pack.cache.dir": cache,
+    }
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    res1 = run_regression_pipeline(
+        JobConfig({**base, "output.base.path": out1}))
+    assert os.path.exists(os.path.join(cache, "manifest.json"))
+
+    with caplog.at_level(logging.INFO, logger="mlease_tpu.train.pipeline"):
+        res2 = run_regression_pipeline(
+            JobConfig({**base, "output.base.path": out2}))
+    assert any("pack cache hit" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(np.asarray(res1.z), np.asarray(res2.z))
+    assert res1.best_loglik == res2.best_loglik
+
+    # a layout knob change must invalidate (head size shapes the cache)
+    from mlease_tpu.io import pack_cache
+    man = pack_cache.build_manifest(
+        [path], nblocks=4, n_groups=2, head_size=16, head_dtype="bfloat16",
+        num_click_replicates=1, seed=7, binary_feature=False)
+    assert pack_cache.load_groups(cache, man) is None
+
+
+def test_pack_cache_bf16_roundtrip(tmp_path):
+    """bfloat16 arrays survive the uint16-view npz round trip exactly."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.core import build_vocab, pack_blocks
+    from mlease_tpu.core.dataset import to_hybrid
+    from mlease_tpu.io import pack_cache
+    from test_admm import synth_rows
+
+    rng = np.random.default_rng(31)
+    rows = synth_rows(rng, 120)
+    vocab = build_vocab(rows)
+    g = to_hybrid(pack_blocks([rows[:60], rows[60:]], vocab), 4,
+                  head_dtype=jnp.bfloat16)
+    man = pack_cache.build_manifest([], nblocks=2, n_groups=1, head_size=4,
+                                    head_dtype="bfloat16",
+                                    num_click_replicates=1, seed=0,
+                                    binary_feature=False)
+    pack_cache.save_groups(str(tmp_path), man, [g], vocab)
+    loaded = pack_cache.load_groups(str(tmp_path), man)
+    assert loaded is not None
+    g2 = loaded[0][0]
+    assert g2.head.dtype == g.head.dtype
+    np.testing.assert_array_equal(np.asarray(g2.head, np.float32),
+                                  np.asarray(g.head, np.float32))
+    for f in ("indices", "values", "y", "tail_rows", "tail_c_vals"):
+        np.testing.assert_array_equal(getattr(g2, f), getattr(g, f))
