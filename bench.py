@@ -391,8 +391,7 @@ def _pass_floor(data, n_lambdas: int, nt_per_iter: float, cg_per_iter: float,
                                 + s["tail_nnz_per_block"]) * s["lambdas"])
     scale = elems / max(elems_tab, 1)
     exact = (abs(scale - 1.0) < 1e-9
-             and (s["features"], s["blocks"], s["rows"], s["lambdas"])
-             == (data.dim, B, R, n_lambdas))
+             and (s["blocks"], s["rows"], s["lambdas"]) == (B, R, n_lambdas))
     fl = tab["floors_ms"]
     floor_ms = scale * (fl["fun_grad_diag"]
                         + nt_per_iter * (fl["xv"] + fl["fused_xtv_diag"])
