@@ -86,8 +86,84 @@ _HARD_DEADLINE = 540.0
 _T_START = time.monotonic()
 
 
+# The driver records only the LAST ~2000 bytes of stdout and parses the
+# final line as the headline record. Round 4's headline was lost because the
+# final line was one multi-KB JSON record (convergence trajectories folded
+# into detail) whose head — metric/value/vs_baseline — fell outside the tail
+# window (`BENCH_r04.json`: rc 0, parsed null). Contract since round 5:
+# every _emit prints the FULL record on one line (and mirrors it to a
+# sidecar file for the judge), then prints a COMPACT scalar-only record as
+# the final line, hard-capped to _COMPACT_BUDGET bytes.
+_COMPACT_BUDGET = 1500   # bytes; driver tail is 2000 — leave headroom
+_DETAIL_SIDECAR = os.environ.get(
+    "BENCH_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_DETAIL.json"))
+
+
+def _compact_record(result: dict) -> str:
+    """Flatten a result to a guaranteed-parseable-in-the-tail final line:
+    top-level fields + scalar detail entries + a whitelist of nested
+    scalars (pass-floor util, convergence headline, residency counts).
+    Lists/dicts (trajectories, per-iter timings) stay on the full line."""
+    out = {k: result.get(k)
+           for k in ("metric", "value", "unit", "vs_baseline")}
+    det = result.get("detail")
+    det = det if isinstance(det, dict) else {}
+    cd: dict = {}
+
+    def scalar(v):
+        return (v is None or isinstance(v, (bool, int, float))
+                or (isinstance(v, str) and len(v) <= 96))
+
+    for k, v in det.items():
+        if scalar(v):
+            cd[k] = v
+    roof = det.get("roofline")
+    if isinstance(roof, dict):
+        for k in ("mfu", "bw_util", "achieved_hbm_gbps"):
+            if scalar(roof.get(k)):
+                cd[k] = roof.get(k)
+        pf = roof.get("pass_floor")
+        if isinstance(pf, dict):
+            cd["pass_floor_util"] = pf.get("util")
+            cd["pass_floor_iter_s"] = pf.get("floor_iter_s")
+    conv = det.get("convergence")
+    if isinstance(conv, dict):
+        for k in ("best_loglik", "converged_to_reference_stop",
+                  "run_wall_s", "mean_iter_s"):
+            if scalar(conv.get(k)):
+                cd[f"conv_{k}"] = conv.get(k)
+        z = conv.get("z_vs_single_inf_final")
+        if isinstance(z, list) and z:
+            cd["conv_z_inf_final_max"] = max(z)
+    res = det.get("residency")
+    if isinstance(res, dict):
+        for k in ("heads_pinned", "n_groups", "consensus_device"):
+            if scalar(res.get(k)):
+                cd[k] = res.get(k)
+    out["detail"] = cd
+    s = json.dumps(out)
+    while len(s) > _COMPACT_BUDGET and cd:       # drop trailing keys
+        cd.pop(next(reversed(cd)))
+        s = json.dumps(out)
+    if len(s) > _COMPACT_BUDGET:                 # pathological unit string
+        out["unit"] = str(out.get("unit"))[:160]
+        s = json.dumps(out)
+    return s
+
+
 def _emit(result: dict) -> None:
-    print(json.dumps(result), flush=True)
+    full = json.dumps(result)
+    compact = _compact_record(result)
+    try:
+        with open(_DETAIL_SIDECAR, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    if full != compact:
+        print(full, flush=True)
+    print(compact, flush=True)
 
 
 def _charged_seconds(now: float) -> float:
