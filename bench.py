@@ -292,10 +292,15 @@ def _finish_device_acquire() -> float:
             next_beat += heartbeat
         if blocked >= (retries + 1) * 180.0 and retries < 4:
             retries += 1
-            try:
-                _dispatch_probe()
-            except Exception:
-                pass
+            # dispatch from a short-lived helper thread: if jnp dispatch
+            # itself blocks on the contended chip, the budget/heartbeat
+            # loop must keep running so BENCH_ACQUIRE_DEADLINE still fires
+            def _retry():
+                try:
+                    _dispatch_probe()
+                except Exception:
+                    pass
+            threading.Thread(target=_retry, daemon=True).start()
     _ACQUIRE_EXCLUDED += time.monotonic() - _ACQUIRE_BLOCK_T0
     _ACQUIRE_BLOCK_T0 = None
     _PHASE = prev_phase

@@ -848,6 +848,10 @@ def enumerate_avro_files(path: str) -> list[str]:
                     f"(from comma-separated list {path!r})")
             out.extend(enumerate_avro_files(p))
         return out
+    # same typo-hiding guard for a single path: nonexistent input is an
+    # error, not an empty file list
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"input path does not exist: {path!r}")
     if os.path.isfile(path):
         return [path]
     found: list[str] = []

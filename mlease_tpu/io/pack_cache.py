@@ -44,15 +44,20 @@ def _bf16():
 
 def build_manifest(input_files: list[str], *, nblocks: int, n_groups: int,
                    head_size: int, head_dtype: str, num_click_replicates: int,
-                   seed: int, binary_feature: bool) -> dict:
+                   seed: int, binary_feature: bool,
+                   map_key: str = "") -> dict:
+    # map_key shapes the row-to-block assignment (partition-by-key vs
+    # random, core/prepare.py) — omitting it let a map.key run share a
+    # cache with a random-partition run over the same inputs.
     return {
-        "version": 1,
+        "version": 2,
         "inputs": [[os.path.abspath(p), os.path.getsize(p),
                     int(os.path.getmtime(p))] for p in sorted(input_files)],
         "nblocks": nblocks, "n_groups": n_groups, "head_size": head_size,
         "head_dtype": head_dtype,
         "num_click_replicates": num_click_replicates,
         "seed": seed, "binary_feature": bool(binary_feature),
+        "map_key": map_key or "",
     }
 
 
@@ -94,22 +99,38 @@ def load_groups(cache_dir: str,
         logger.info("pack cache at %s is stale (manifest mismatch); "
                     "rebuilding", cache_dir)
         return None
+    import zipfile
     groups: list[BlockedData] = []
     for gi in range(manifest["n_groups"]):
         path = os.path.join(cache_dir, f"group-{gi}.npz")
         if not os.path.exists(path):
             return None
-        with np.load(path) as z:
-            kw: dict = {f: None for f in _FIELDS}
-            for key in z.files:
-                if key == "__meta":
-                    nblocks, dim = (int(v) for v in z[key])
-                elif key.endswith("__bf16"):
-                    kw[key[:-len("__bf16")]] = z[key].view(_bf16())
-                else:
-                    kw[key] = z[key]
-        groups.append(BlockedData(nblocks=nblocks, dim=dim, **kw))
-    vocab = FeatureVocab.load(os.path.join(cache_dir, "vocab.json"))
+        # a damaged-but-complete-looking cache (truncated npz, missing
+        # __meta) must trigger a rebuild, not crash the job
+        try:
+            with np.load(path) as z:
+                kw: dict = {f: None for f in _FIELDS}
+                nblocks = dim = None
+                for key in z.files:
+                    if key == "__meta":
+                        nblocks, dim = (int(v) for v in z[key])
+                    elif key.endswith("__bf16"):
+                        kw[key[:-len("__bf16")]] = z[key].view(_bf16())
+                    else:
+                        kw[key] = z[key]
+            if nblocks is None:
+                raise KeyError("__meta")
+            groups.append(BlockedData(nblocks=nblocks, dim=dim, **kw))
+        except (OSError, ValueError, KeyError, TypeError,
+                zipfile.BadZipFile) as e:
+            logger.warning("pack cache group %s unreadable (%r); rebuilding",
+                           path, e)
+            return None
+    try:
+        vocab = FeatureVocab.load(os.path.join(cache_dir, "vocab.json"))
+    except (OSError, ValueError, KeyError) as e:
+        logger.warning("pack cache vocab unreadable (%r); rebuilding", e)
+        return None
     logger.info("pack cache hit: %d groups loaded from %s", len(groups),
                 cache_dir)
     return groups, vocab

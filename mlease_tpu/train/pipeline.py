@@ -156,7 +156,7 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             avro.enumerate_avro_files(input_paths), nblocks=nblocks,
             n_groups=_sg, head_size=cfg.head_size, head_dtype=str(_hdt),
             num_click_replicates=cfg.num_click_replicates, seed=seed,
-            binary_feature=ignore_value)
+            binary_feature=ignore_value, map_key=map_key)
         hit = pack_cache.load_groups(pack_cache_dir, pc_manifest)
         if hit is not None:
             cached_groups, vocab = hit

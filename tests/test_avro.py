@@ -134,3 +134,7 @@ def test_enumerate_comma_separated_paths(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="does-not-exist"):
         avro.enumerate_avro_files(f"{d1},{tmp_path}/does-not-exist")
+
+    # a SINGLE nonexistent path is the same error, not an empty list
+    with pytest.raises(FileNotFoundError, match="no-such-dir"):
+        avro.enumerate_avro_files(f"{tmp_path}/no-such-dir")

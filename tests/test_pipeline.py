@@ -469,3 +469,48 @@ def test_pack_cache_bf16_roundtrip(tmp_path):
                                   np.asarray(g.head, np.float32))
     for f in ("indices", "values", "y", "tail_rows", "tail_c_vals"):
         np.testing.assert_array_equal(getattr(g2, f), getattr(g, f))
+
+
+def test_pack_cache_map_key_invalidates_and_corruption_rebuilds(tmp_path):
+    """map.key shapes row-to-block assignment, so it must key the manifest
+    (ADVICE r4 medium); a truncated/garbage group npz or vocab must return
+    None (rebuild), never crash the job."""
+    import jax.numpy as jnp
+
+    from mlease_tpu.core import build_vocab, pack_blocks
+    from mlease_tpu.core.dataset import to_hybrid
+    from mlease_tpu.io import pack_cache
+    from test_admm import synth_rows
+
+    rng = np.random.default_rng(5)
+    rows = synth_rows(rng, 80)
+    vocab = build_vocab(rows)
+    g = to_hybrid(pack_blocks([rows[:40], rows[40:]], vocab), 4,
+                  head_dtype=jnp.bfloat16)
+
+    def man(mk):
+        return pack_cache.build_manifest(
+            [], nblocks=2, n_groups=1, head_size=4, head_dtype="bfloat16",
+            num_click_replicates=1, seed=0, binary_feature=False,
+            map_key=mk)
+
+    cache = str(tmp_path / "c")
+    pack_cache.save_groups(cache, man("memberId"), [g], vocab)
+    assert pack_cache.load_groups(cache, man("memberId")) is not None
+    # different (or absent) map.key over identical inputs must MISS
+    assert pack_cache.load_groups(cache, man("")) is None
+    assert pack_cache.load_groups(cache, man("itemId")) is None
+
+    # corrupt group file: truncate mid-archive
+    gpath = os.path.join(cache, "group-0.npz")
+    blob = open(gpath, "rb").read()
+    open(gpath, "wb").write(blob[: len(blob) // 3])
+    assert pack_cache.load_groups(cache, man("memberId")) is None
+    # restore group, corrupt vocab instead
+    open(gpath, "wb").write(blob)
+    assert pack_cache.load_groups(cache, man("memberId")) is not None
+    open(os.path.join(cache, "vocab.json"), "w").write("{not json")
+    assert pack_cache.load_groups(cache, man("memberId")) is None
+    # missing __meta key in an otherwise-valid npz
+    np.savez(gpath, indices=np.zeros((1, 2, 2), np.int32))
+    assert pack_cache.load_groups(cache, man("memberId")) is None
