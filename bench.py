@@ -777,6 +777,13 @@ def _run_convergence():
                      head_size=int(os.environ.get("BENCH_HEAD", "512")),
                      aggressive_liblinear_epsilon_decay=(
                          os.environ.get("BENCH_AGGRESSIVE_EPS") == "1"),
+                     # accelerant knobs for the convergence sweep (VERDICT
+                     # r4 item 4): over-relaxation alpha and the rho decay
+                     # coefficient, both defaulting to reference semantics
+                     relaxation=float(
+                         os.environ.get("BENCH_RELAXATION", "1.0")),
+                     rho_adapt_coefficient=float(
+                         os.environ.get("BENCH_RHO_ADAPT", "0.0")),
                      dtype=jnp.float32)
     trainer = AdmmTrainer(data, vocab, cfg)
     trainer.test_arrays = (
@@ -877,6 +884,8 @@ def _run_convergence():
         "vs_baseline": round((30.0 * (hit_iter or result.iterations))
                              / max(time_to_target, 1e-9), 1),
         "hit_iter": hit_iter, "iterations": result.iterations,
+        "relaxation": cfg.relaxation,
+        "rho_adapt_coefficient": cfg.rho_adapt_coefficient,
         "converged_to_reference_stop": bool(result.converged),
         "reference_stop": "max|dz|<1e-4 AND inner_eps<=1e-5 "
                           "(RegressionAdmmTrain.java:473,493-496)",
@@ -1051,6 +1060,8 @@ def bench_admm():
         "unit": unit,
         "vs_baseline": round(iters_per_s * 30.0, 1),
         "detail": {
+            "vs_baseline_note": "x assumed 30 s/iter Hadoop MR floor "
+                                "(README: 100M vs the Hadoop flow)",
             "compile_s": round(compile_time, 2),
             "device_acquire_s": round(acquire_s, 1),
             "trace_compile_s": round(trace_compile_s, 2),
@@ -1260,6 +1271,17 @@ def bench_streaming():
     steady = (float(np.median(res.iter_times[1:])) if len(res.iter_times) > 1
               else res.iter_times[0])
     total_rows = n_groups * nblocks * rows
+
+    # probe-composed pass floor at THIS streaming shape: per-group compute
+    # floors weighted by per-group measured trips, max'd with the measured
+    # wire term (mlease_tpu/utils/floor.py)
+    from mlease_tpu.utils.floor import measure_put_bandwidth, streaming_floor
+    try:
+        bw = measure_put_bandwidth()
+    except Exception:
+        bw = None
+    sfloor = streaming_floor(trainer.groups, trainer.trip_log, wire_bytes,
+                             steady, bw, n_lambdas)
     _RESULT = {
         "metric": "streaming_admm_iterations_per_s",
         "value": round(1.0 / steady, 4),
@@ -1268,6 +1290,8 @@ def bench_streaming():
                  f"{jax.devices()[0].platform})"),
         "vs_baseline": round(30.0 / steady, 1),
         "detail": {
+            "vs_baseline_note": "x assumed 30 s/iter Hadoop MR floor "
+                                "(README: 100M vs the Hadoop flow)",
             "steady_iter_s": round(steady, 4),
             "cold_iter_s": round(res.iter_times[0], 3),
             "iter_times_s": [round(t, 3) for t in res.iter_times],
@@ -1281,6 +1305,7 @@ def bench_streaming():
             "consensus_mb_per_iter": round(consensus_bytes / (1 << 20), 1),
             "maxdiff_last": (res.diff_history[-1]
                              if res.diff_history else None),
+            "roofline": {"pass_floor": sfloor},
             "device": str(jax.devices()[0]),
         },
     }

@@ -17,6 +17,7 @@ frameworks without changes:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import shutil
@@ -170,18 +171,39 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         from mlease_tpu.io import fast_decode
         if fast_decode.is_available():
             try:
+                import time as _time
+
                 from mlease_tpu.core.ingest import (
                     decode_files_parallel, merge_decoded,
                     pack_blocks_columnar, prepare_columnar, vocab_from_names)
-                decoded = merge_decoded(decode_files_parallel(
-                    input_files, ignore_value=ignore_value))
+                # phase timings: the 100M cold pipeline is ingest-dominated
+                # (~2.5:1 over training, ROADMAP r4) — every run records
+                # where the minutes went so the dominant term is never a
+                # guess
+                _ph: dict[str, float] = {}
+                _t0 = _time.monotonic()
+                parts = decode_files_parallel(
+                    input_files, ignore_value=ignore_value)
+                _ph["decode_s"] = _time.monotonic() - _t0
+                _t0 = _time.monotonic()
+                decoded = merge_decoded(parts)
+                del parts
+                _ph["merge_s"] = _time.monotonic() - _t0
+                _t0 = _time.monotonic()
                 vocab = vocab_from_names(decoded.vocab_names)
+                _ph["vocab_s"] = _time.monotonic() - _t0
+                _t0 = _time.monotonic()
                 row_ids, partitions, weights = prepare_columnar(
                     decoded, nblocks,
                     num_click_replicates=cfg.num_click_replicates, seed=seed)
+                _ph["prepare_s"] = _time.monotonic() - _t0
+                _t0 = _time.monotonic()
                 data = pack_blocks_columnar(
                     decoded, row_ids, partitions, weights, vocab,
                     nblocks=nblocks)
+                _ph["pack_s"] = _time.monotonic() - _t0
+                logger.info("ingest phase breakdown: %s",
+                            {k: round(v, 1) for k, v in _ph.items()})
                 if config.get_boolean("write.tmp.data", True):
                     _write_tmp_from_columnar(
                         os.path.join(out_base, "tmp-data",
@@ -290,6 +312,7 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
     # prune to the newest 2 checkpoints to bound disk.
     keep_all = ("remove.tmp.dir" in config
                 and not config.get_boolean("remove.tmp.dir", False))
+    keep_n = config.get_int("checkpoint.keep", 2)
 
     # write.train.output=true: per-iteration iter-i/model files in the
     # reference's RegressionTrainOutput{key="lambda#part", model=x_b,
@@ -335,7 +358,7 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                              mindiff=float(diffs.min()),
                              best_loglik=best_state["loglik"])
         if not keep_all:
-            ckpt.prune_checkpoints(ckpt_dir, keep=2)
+            ckpt.prune_checkpoints(ckpt_dir, keep=keep_n)
         if write_train_output:
             _dump_train_output(iteration, np.asarray(z_np, np.float64),
                                np.asarray(u_np, np.float64))
@@ -371,6 +394,8 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                 # convert to hybrid HERE (the trainer then skips groups
                 # that already carry a head) so the cache stores the final
                 # packed layout; in place, group by group, for peak RSS
+                import time as _time
+                _t0 = _time.monotonic()
                 if cfg.head_size > 0:
                     from mlease_tpu.core.dataset import to_hybrid
                     _hdt = np.dtype(cfg.head_dtype
@@ -381,9 +406,14 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                             groups[_i] = to_hybrid(_g, cfg.head_size,
                                                    column_sorted=True,
                                                    head_dtype=_hdt)
+                _hybrid_s = _time.monotonic() - _t0
                 from mlease_tpu.io import pack_cache
+                _t0 = _time.monotonic()
                 pack_cache.save_groups(pack_cache_dir, pc_manifest,
                                        groups, vocab)
+                logger.info(
+                    "streaming pack phases: hybrid=%.1fs cache_write=%.1fs",
+                    _hybrid_s, _time.monotonic() - _t0)
         s_trainer = StreamingAdmmTrainer(
             groups, vocab, cfg,
             test_rows=test_rows, mesh=mesh,
@@ -396,7 +426,11 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
             # compact|dense|auto: COO-head + permutation-derived tail wire
             # (train/streaming.py _head_coo) — auto enables off-mesh
             compact_wire={"auto": "auto", "compact": True,
-                          "dense": False}[cw])
+                          "dense": False}[cw],
+            # auto|true|false: pad per-group tail widths to the run max so
+            # solver/wire programs compile once, not per group shape
+            pad_tails={"auto": "auto", "true": True, "false": False}[
+                config.get_string("streaming.pad.tails", "auto")])
         del groups  # the trainer holds the hybrid groups; dropping the
         #             view-groups here releases the original ELL pack
         s_kwargs: dict[str, Any] = {"z0": z0}
@@ -415,6 +449,24 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
         from mlease_tpu.utils.profiling import trace
         with trace(with_trace):
             result = s_trainer.run(callback=on_iteration, **s_kwargs)
+        # probe-composed utilization at THIS shape (logged so every
+        # production streaming run records its distance from the measured
+        # speed-of-light — see mlease_tpu/utils/floor.py)
+        if result.iter_times and mesh is None:
+            try:
+                from mlease_tpu.utils.floor import (measure_put_bandwidth,
+                                                    streaming_floor)
+                _steady = (float(np.median(result.iter_times[1:]))
+                           if len(result.iter_times) > 1
+                           else result.iter_times[0])
+                _sf = streaming_floor(
+                    s_trainer.groups, s_trainer.trip_log,
+                    s_trainer.stream_wire_bytes(), _steady,
+                    measure_put_bandwidth(), len(cfg.lambdas))
+                logger.info("streaming pass-floor decomposition: %s",
+                            json.dumps(_sf))
+            except Exception as e:  # accounting must never fail the job
+                logger.info("pass-floor decomposition unavailable: %r", e)
         return _write_pipeline_outputs(config, result, out_base, test_path,
                                        test_records, ignore_value)
 
@@ -502,7 +554,7 @@ def run_regression_pipeline(config: JobConfig, mesh=None,
                                      mindiff=float(np.min(diffs)),
                                      best_loglik=best_state["loglik"])
                 if not keep_all:
-                    ckpt.prune_checkpoints(ckpt_dir, keep=2)
+                    ckpt.prune_checkpoints(ckpt_dir, keep=keep_n)
                 by_iter: dict[int, list] = {}
                 for entry in logliks or []:
                     by_iter.setdefault(entry["iter"], []).append(entry)

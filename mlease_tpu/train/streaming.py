@@ -142,6 +142,35 @@ def _device_hbm_bytes() -> int:
     return 16 * (1 << 30)
 
 
+def _pad_group_tails(g, T_max: int):
+    """Pad one group's tail layouts from T to T_max columns, bit-exactly.
+
+    The row-sorted triplet APPENDS (row 0, col 0, val 0.0) entries — the
+    same padding convention core/dataset.to_hybrid already uses inside a
+    block; the column-sorted copy PREPENDS them (col-0 zeros sort to the
+    front, so the array stays column-sorted and the pads contribute 0.0 to
+    segment 0). Every added entry adds +0.0 into accumulator slot (0, 0)
+    of the downstream segment sums — a float-exact no-op."""
+    B, T = g.tail_rows.shape
+    P = T_max - T
+    if P <= 0:
+        return g
+
+    def app(a):
+        return np.concatenate(
+            [a, np.zeros((B, P), a.dtype)], axis=1)
+
+    def pre(a):
+        return (None if a is None
+                else np.concatenate([np.zeros((B, P), a.dtype), a], axis=1))
+
+    return g._replace(tail_rows=app(g.tail_rows), tail_cols=app(g.tail_cols),
+                      tail_vals=app(g.tail_vals),
+                      tail_c_rows=pre(g.tail_c_rows),
+                      tail_c_cols=pre(g.tail_c_cols),
+                      tail_c_vals=pre(g.tail_c_vals))
+
+
 def _tail_inv_perm(tail_cols) -> np.ndarray:
     """Per-block inverse of the stable column sort: row-sorted tail =
     column-sorted tail indexed by this permutation (exactly — same argsort
@@ -155,6 +184,25 @@ def _tail_inv_perm(tail_cols) -> np.ndarray:
     return inv
 
 
+def _pad_head_coo_shared(wire: dict) -> None:
+    """Pad every compact head-COO triplet to one shared length so the
+    device scatter compiles ONCE per run instead of once per group (each
+    distinct COO length is its own program shape). Pads are (0, 0, 0.0)
+    entries — exact no-ops under _scatter_head_dense's additive scatter."""
+    lens = [w["head_coo"][0].shape[0] for w in wire.values()
+            if "head_coo" in w]
+    if len(lens) <= 1 or max(lens) == min(lens):
+        return
+    target = max(lens)
+    for w in wire.values():
+        coo = w.get("head_coo")
+        if coo is None or coo[0].shape[0] == target:
+            continue
+        pad = target - coo[0].shape[0]
+        w["head_coo"] = tuple(
+            np.concatenate([a, np.zeros(pad, a.dtype)]) for a in coo)
+
+
 @jax.jit
 def _gather_row_sorted(tc_rows, tc_cols, tc_vals, inv):
     take = lambda a: jnp.take_along_axis(a, inv, axis=1)  # noqa: E731
@@ -163,10 +211,13 @@ def _gather_row_sorted(tc_rows, tc_cols, tc_vals, inv):
 
 @partial(jax.jit, static_argnums=(3,))
 def _scatter_head_dense(hrows, hcols, hvals, shape):
+    # .add, not .set(unique_indices=True): shared-length COO padding ships
+    # duplicate (0, 0, 0.0) entries, which add nothing into slot (0, 0) —
+    # exact — while real entries are unique nonzeros of a zero base, so
+    # add == set bit-for-bit
     B, R, H = shape
     flat = jnp.zeros((B * R, H), hvals.dtype)
-    flat = flat.at[hrows, hcols.astype(jnp.int32)].set(
-        hvals, unique_indices=True)
+    flat = flat.at[hrows, hcols.astype(jnp.int32)].add(hvals)
     return flat.reshape(B, R, H)
 
 
@@ -358,7 +409,8 @@ class StreamingAdmmTrainer:
                  resident_head: str | bool = "auto",
                  resident_head_budget_gb: float = 8.0,
                  consensus_device: str | bool = "auto",
-                 compact_wire: str | bool = "auto"):
+                 compact_wire: str | bool = "auto",
+                 pad_tails: str | bool = "auto"):
         if config.dual_layout:
             raise NotImplementedError(
                 "dual layout in streaming mode: the CSC arrays double the "
@@ -415,6 +467,36 @@ class StreamingAdmmTrainer:
                     tc_v[b] = g.tail_vals[b][order]
                 groups[i] = g._replace(tail_c_rows=tc_r, tail_c_cols=tc_c,
                                        tail_c_vals=tc_v)
+        # ---- shared tail shapes (cold-compile tax) -------------------
+        # Per-group to_hybrid rounds each group's tail width T to its own
+        # multiple of 128, so every group shape costs its own solver +
+        # compact-wire gather/scatter compile — through the tunnel each is
+        # ~20-60 s (25M cold start measured 560 s dense -> 880 s compact,
+        # ROADMAP r4). Padding every group's tails to the run-wide max T
+        # collapses those programs to one per distinct block count, with
+        # bit-exact results (padding entries add 0.0 into slot (0, 0)).
+        # "auto" pads unless the extra wire/storage exceeds 25% of the
+        # tail bytes (pathologically heterogeneous groups keep their own
+        # shapes — per-group compiles beat shipping mostly-padding).
+        self._tail_orig_T: dict[int, int] = {}
+        tails_ok = all(g.tail_rows is not None for g in groups)
+        if pad_tails in ("auto", True) and tails_ok and len(groups) > 1:
+            widths = [g.tail_rows.shape[1] for g in groups]
+            T_max = max(widths)
+            orig = sum(w * g.nblocks for w, g in zip(widths, groups))
+            padded = sum(T_max * g.nblocks for g in groups)
+            if T_max > min(widths) and (
+                    pad_tails is True or padded <= 1.25 * orig):
+                for i, g in enumerate(groups):
+                    if g.tail_rows.shape[1] < T_max:
+                        self._tail_orig_T[i] = g.tail_rows.shape[1]
+                        groups[i] = _pad_group_tails(g, T_max)
+                logger.info(
+                    "tail shapes harmonized to T=%d across %d groups "
+                    "(%d padded; +%.1f%% tail bytes) — one solver/wire "
+                    "program per block count instead of per group",
+                    T_max, len(groups), len(self._tail_orig_T),
+                    100.0 * (padded - orig) / max(orig, 1))
         # consensus divisor = real blocks only (padding masked below)
         self.nblocks = sum(g.nblocks for g in groups)
         self.real_nblocks = [g.nblocks for g in groups]
@@ -571,9 +653,12 @@ class StreamingAdmmTrainer:
                     if coo_b < int(g.head.nbytes) // 2:
                         w["head_coo"] = (hrows, hcols, hvals)
                 if g.tail_c_cols is not None:
-                    w["tail_inv"] = _tail_inv_perm(g.tail_cols)
+                    w["tail_inv"] = self._tail_inv(gi)
                 if w:
                     self._wire[gi] = w
+            # one scatter program per run: each distinct COO length is its
+            # own compiled shape (~20-60 s each through the tunnel)
+            _pad_head_coo_shared(self._wire)
             if self._wire:
                 logger.info(
                     "compact wire: %d/%d streamed groups re-encoded "
@@ -681,6 +766,25 @@ class StreamingAdmmTrainer:
             else:
                 total += int(g.head.nbytes) + int(g.head_ids.nbytes)
         return total
+
+    def _tail_inv(self, gi: int) -> np.ndarray:
+        """Inverse column-sort permutation for group gi, padding-aware.
+
+        For a group padded by _pad_group_tails (P entries appended to the
+        row-sorted layout, P prepended to the column-sorted one), the
+        original region's inverse shifts by P past the prepended pads, and
+        appended row-sorted pad i maps to prepended column-sorted slot i —
+        so the device gather reproduces the padded row-sorted triplet
+        bit-exactly."""
+        g = self.groups[gi]
+        T0 = self._tail_orig_T.get(gi)
+        if T0 is None:
+            return _tail_inv_perm(g.tail_cols)
+        B, T = g.tail_cols.shape
+        P = T - T0
+        inv0 = _tail_inv_perm(g.tail_cols[:, :T0]) + np.int32(P)
+        pad = np.broadcast_to(np.arange(P, dtype=np.int32), (B, P))
+        return np.ascontiguousarray(np.concatenate([inv0, pad], axis=1))
 
     def sample_loglik(self, z) -> np.ndarray:
         idx, val, y, w, off = self.test_arrays
@@ -798,6 +902,9 @@ class StreamingAdmmTrainer:
         loglik_history: list[dict] = []
         diff_history: list[dict] = []
         iter_times: list[float] = []
+        # per-iteration (G, 2) newton/cg counters per group — consumed by
+        # the pass-floor decomposition (bench.py streaming roofline)
+        self.trip_log: list[np.ndarray] = []
         converged = False
         t_start = time.monotonic()
         iteration = start_iteration - 1
@@ -837,11 +944,13 @@ class StreamingAdmmTrainer:
                     rho_adapt_coefficient=cfg.rho_adapt_coefficient)
                 for r in self.rhos], dtype)
 
+            G = len(self.groups)
             if dev:
                 # ---- device-resident consensus iteration -------------
                 # every dispatch below is async; the single host sync is
                 # the (diffs, loglik) scalar fetch at the end
-                xsum = usum = trips_dev = None
+                xsum = usum = None
+                trips_per_group = []       # per-group (2,) counters
                 x_keep = []
                 pending = self._put_group(0, dtype)
                 for gi, scale in enumerate(self.eps_scales):
@@ -858,8 +967,7 @@ class StreamingAdmmTrainer:
                                            bv_dev[gi])
                     xsum = xs if xsum is None else xsum + xs
                     usum = us if usum is None else usum + us
-                    trips_dev = (g_trips if trips_dev is None
-                                 else trips_dev + g_trips)
+                    trips_per_group.append(g_trips)
                     x_keep.append(x_dev)
                 z_new, diffs_dev = _z_update_from_sums(
                     xsum, usum, z_dev, lam_dev, rhob_dev, **zup_static)
@@ -868,8 +976,12 @@ class StreamingAdmmTrainer:
                         self._u_dev[gi], x_keep[gi], z_new, bv_dev[gi])
                 del x_keep
                 # float32 unconditionally: a bfloat16 compute dtype would
-                # round trip counts above 256 (concatenate promotes)
-                trips_f = trips_dev.astype(jnp.float32)
+                # round trip counts above 256 (concatenate promotes);
+                # PER-GROUP counters ride the same single scalar fetch
+                # (the pass-floor decomposition composes per-group floors
+                # by per-group trip counts)
+                trips_f = jnp.stack(trips_per_group).astype(
+                    jnp.float32).reshape(-1)
                 if track_ll:
                     idx, val, yv, wv, offv = self.test_arrays
                     ll_dev = self.loglik_fn(idx, val, yv, wv, offv, z_new)
@@ -881,7 +993,8 @@ class StreamingAdmmTrainer:
                     out = np.asarray(
                         jnp.concatenate([diffs_dev, trips_f]), np.float64)
                     diffs, lls = out[:L], None
-                trips = out[-2:].astype(np.int64)
+                trip_mat = out[-2 * G:].reshape(G, 2).astype(np.int64)
+                trips = trip_mat.sum(axis=0)
                 z_dev = z_new
             else:
                 # ---- host-resident consensus iteration ---------------
@@ -934,10 +1047,11 @@ class StreamingAdmmTrainer:
                 z = z_new
                 # one fetch for all groups' counters (the x fetch above was
                 # the iteration's sync point, so this adds no extra wait)
-                trips = np.asarray(
-                    jnp.sum(jnp.stack(trips_devs), axis=0), np.int64)
+                trip_mat = np.asarray(jnp.stack(trips_devs), np.int64)
+                trips = trip_mat.sum(axis=0)
                 lls = self.sample_loglik(z) if track_ll else None
 
+            self.trip_log.append(trip_mat)
             mindiff = float(diffs.min())
             maxdiff = float(diffs.max())
             diff_history.append({_lambda_key(l): float(d)

@@ -442,3 +442,98 @@ def test_compact_wire_requires_single_device():
     t = StreamingAdmmTrainer(groups, vocab, cfg, mesh=mesh,
                              compact_wire="auto")
     assert not t._wire
+
+
+def test_tail_padding_harmonizes_shapes_bit_exactly():
+    """pad_tails collapses per-group tail widths (each its own compiled
+    solver/wire program) to one shared shape with BIT-identical results:
+    the padding entries are (0, 0, 0.0) no-ops for every segment sum, and
+    the padding-aware inverse permutation reconstructs the padded
+    row-sorted tail exactly on device."""
+    rng = np.random.default_rng(31)
+    rows = synth_rows(rng, 500)
+    vocab = build_vocab(rows)
+    blocks = [rows[:40], rows[40:80], rows[80:290], rows[290:]]
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=4, dtype=jnp.float64,
+                     multi_rhs=True, head_size=4)
+    t_raw = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False,
+                                 pad_tails=False)
+    t_pad = StreamingAdmmTrainer(groups, vocab, cfg, resident_head=False,
+                                 pad_tails=True)
+    widths_raw = {g.tail_rows.shape[1] for g in t_raw.groups}
+    widths_pad = {g.tail_rows.shape[1] for g in t_pad.groups}
+    assert len(widths_raw) > 1           # fixture really is heterogeneous
+    assert len(widths_pad) == 1
+    assert t_pad._tail_orig_T            # at least one group was padded
+
+    # the reconstructed compact-wire group tuple must be bitwise the padded
+    # host arrays (gather through the padding-aware permutation)
+    for gi in t_pad._wire:
+        g = t_pad.groups[gi]
+        _, _, _, _, _, head, _ = t_pad._put_group(gi, jnp.float64)
+        _, _, t_r, t_c, t_v, tc_r, tc_c, tc_v = head
+        np.testing.assert_array_equal(np.asarray(t_r), g.tail_rows)
+        np.testing.assert_array_equal(np.asarray(t_c), g.tail_cols)
+        np.testing.assert_array_equal(np.asarray(t_v), g.tail_vals)
+        np.testing.assert_array_equal(np.asarray(tc_c), g.tail_c_cols)
+
+    res_raw, res_pad = t_raw.run(), t_pad.run()
+    np.testing.assert_array_equal(np.asarray(res_pad.z),
+                                  np.asarray(res_raw.z))
+    np.testing.assert_array_equal(np.asarray(res_pad.u),
+                                  np.asarray(res_raw.u))
+
+
+def test_tail_padding_auto_respects_overhead_cap():
+    """auto (the default) pads mildly-heterogeneous groups but skips when
+    padding would add >25% tail bytes (shipping mostly-padding would cost
+    more than the per-group compiles save)."""
+    rng = np.random.default_rng(33)
+    rows = synth_rows(rng, 500)
+    vocab = build_vocab(rows)
+    cfg = AdmmConfig(lambdas=[1.0], num_iters=1, dtype=jnp.float64,
+                     multi_rhs=True, head_size=4)
+    # skewed split: per-group widths differ by ~5x -> auto must skip
+    blocks = [rows[:40], rows[40:80], rows[80:290], rows[290:]]
+    skew = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    t = StreamingAdmmTrainer(skew, vocab, cfg, resident_head=False)
+    assert not t._tail_orig_T
+    assert len({g.tail_rows.shape[1] for g in t.groups}) > 1
+    # mild split -> auto pads
+    blocks = [rows[:150], rows[150:290], rows[290:420], rows[420:]]
+    mild = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    t2 = StreamingAdmmTrainer(mild, vocab, cfg, resident_head=False)
+    raw_widths = {g.tail_rows.shape[1]
+                  for g in StreamingAdmmTrainer(
+                      mild, vocab, cfg, resident_head=False,
+                      pad_tails=False).groups}
+    if len(raw_widths) > 1:              # synth shapes may already agree
+        assert t2._tail_orig_T
+        assert len({g.tail_rows.shape[1] for g in t2.groups}) == 1
+
+
+def test_head_coo_shared_length_padding():
+    """Compact head-COO triplets pad to ONE shared length (one scatter
+    program per run) and the additive scatter makes the pads exact."""
+    from mlease_tpu.train.streaming import (_pad_head_coo_shared,
+                                            _scatter_head_dense)
+    rng = np.random.default_rng(34)
+    wire = {}
+    dense = {}
+    for gi, nnz in enumerate([37, 91, 64]):
+        rows = rng.integers(0, 16, size=nnz).astype(np.int32)
+        cols = rng.integers(0, 4, size=nnz).astype(np.uint8)
+        vals = rng.normal(size=nnz).astype(np.float32)
+        wire[gi] = {"head_coo": (rows, cols, vals)}
+        ref = np.zeros((16, 4), np.float32)
+        np.add.at(ref, (rows, cols.astype(np.int64)), vals)
+        dense[gi] = ref.reshape(2, 8, 4)
+    _pad_head_coo_shared(wire)
+    lens = {w["head_coo"][0].shape[0] for w in wire.values()}
+    assert lens == {91}
+    for gi, w in wire.items():
+        r, c, v = w["head_coo"]
+        got = np.asarray(_scatter_head_dense(
+            jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), (2, 8, 4)))
+        np.testing.assert_array_equal(got, dense[gi])
