@@ -291,7 +291,8 @@ def _u_update_dev(u, x, z_new, bv):
 
 def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                        use_head: bool = False, multi_rhs: bool = False,
-                       pcg: bool = False, flat_blocks: bool = False):
+                       pcg: bool = False, flat_blocks: bool = False,
+                       relaxation: float = 1.0):
     """Jitted (lambda x block) x-update for one data group (no consensus).
 
     flat_blocks: fold the group's block axis into the coefficient axis (one
@@ -382,6 +383,11 @@ def build_group_solver(max_newton_iter: int, max_cg_iter: int,
                                          eps)
             nt, cg = jnp.sum(nt_lb), jnp.sum(cg_lb)
         x = jnp.where(present[None, :, :], x, prior_mean)
+        if relaxation != 1.0:
+            # over-relaxation x_hat = alpha*x + (1-alpha)*z, exactly as the
+            # in-memory trainer applies it post-masking (train/admm.py);
+            # the consensus and u-updates then see the relaxed x
+            x = relaxation * x + (1.0 - relaxation) * z[:, None, :]
         # trips ride the iteration's single scalar fetch (explains where a
         # big-shape iteration's time goes: trips x per-pass cost)
         return x, jnp.stack([nt, cg]).astype(jnp.int32)
@@ -669,7 +675,7 @@ class StreamingAdmmTrainer:
 
         self.solver = build_group_solver(
             config.max_newton_iter, config.max_cg_iter,
-            use_head=self.use_head,
+            use_head=self.use_head, relaxation=config.relaxation,
             multi_rhs=config.multi_rhs, pcg=config.pcg,
             flat_blocks=(bool(config.flat_blocks) and mesh is None
                          and config.multi_rhs

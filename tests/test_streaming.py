@@ -537,3 +537,22 @@ def test_head_coo_shared_length_padding():
         got = np.asarray(_scatter_head_dense(
             jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), (2, 8, 4)))
         np.testing.assert_array_equal(got, dense[gi])
+
+
+def test_streaming_relaxation_matches_in_memory():
+    """cfg.relaxation applies in the streaming solver exactly as in the
+    in-memory trainer (it was silently ignored before r5): same relaxed
+    consensus trajectory."""
+    rng = np.random.default_rng(41)
+    rows = synth_rows(rng, 400)
+    vocab = build_vocab(rows)
+    blocks = [rows[i::4] for i in range(4)]
+    cfg = AdmmConfig(flat_blocks=False, lambdas=[1.0, 10.0], num_iters=5,
+                     dtype=jnp.float64, multi_rhs=False, relaxation=1.6)
+    res_mem = AdmmTrainer(pack_blocks(blocks, vocab), vocab, cfg).run()
+    groups = [pack_blocks(blocks[:2], vocab), pack_blocks(blocks[2:], vocab)]
+    res_stream = StreamingAdmmTrainer(groups, vocab, cfg).run()
+    np.testing.assert_allclose(res_stream.z, res_mem.z, rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(res_stream.u, res_mem.u, rtol=1e-8,
+                               atol=1e-10)

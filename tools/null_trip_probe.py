@@ -144,13 +144,15 @@ def main():
     W0 = jnp.asarray(rng.normal(size=(L, N)) * 0.01, jnp.float32)
     G0 = jnp.asarray(rng.normal(size=(L, N)) * 0.1, jnp.float32)
     run = build_null_solver(N, L, nt, cg)
-    run(W0, G0).block_until_ready()          # compile
+    float(run(W0, G0))                       # compile + execute
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
         for _ in range(reps):
             out = run(W0, G0)
-        out.block_until_ready()
+        float(out)   # device->host fetch: the only reliable sync barrier
+        #              on the tunneled backend (block_until_ready can
+        #              return early there)
         best = min(best, (time.monotonic() - t0) / reps)
     trips = nt * (1 + cg)
     per_trip_ms = best * 1e3 / trips
