@@ -233,10 +233,35 @@ def to_hybrid(data: BlockedData, head_size: int, *,
 
     is_head = (head_pos[data.indices] >= 0) & (data.values != 0)  # (B,R,K)
 
-    head = np.zeros((B, R, H), data.values.dtype)
     b_ix, r_ix, k_ix = np.nonzero(is_head)
-    np.add.at(head, (b_ix, r_ix, head_pos[data.indices[b_ix, r_ix, k_ix]]),
-              data.values[b_ix, r_ix, k_ix])
+    h_ix = head_pos[data.indices[b_ix, r_ix, k_ix]]
+    vals = data.values[b_ix, r_ix, k_ix]
+    flat = (b_ix * R + r_ix) * np.int64(H) + h_ix
+    # duplicate-free fast path (the overwhelmingly common case: a feature
+    # appears once per row): scatter the values STRAIGHT into the target
+    # dtype — skips both np.add.at (~10x slower than fancy assignment at
+    # 100M-scale head nnz) and the separate whole-head cast pass (the two
+    # dominant terms of the measured hybrid phase). Exact: one contribution
+    # per slot makes assign-with-convert bitwise equal to cast(sum).
+    # sampled early exit: dup-heavy corpora (the CTR set runs ~29% dup
+    # pairs) reveal themselves in the first chunk for ~ms instead of a
+    # full 2-3 s sort; only a clean sample pays the exact whole-set check
+    probe = np.sort(flat[:min(len(flat), 1 << 20)])
+    has_dup = bool(np.any(probe[1:] == probe[:-1]))
+    del probe
+    if not has_dup and len(flat) > (1 << 20):
+        flat_sorted = np.sort(flat)
+        has_dup = bool(np.any(flat_sorted[1:] == flat_sorted[:-1]))
+        del flat_sorted
+    if not has_dup:
+        head = np.zeros((B, R, H),
+                        head_dtype if head_dtype is not None
+                        else data.values.dtype)
+        head.reshape(-1)[flat] = vals
+    else:  # exact duplicate-summing fallback (reference ELL semantics)
+        head = np.zeros((B, R, H), data.values.dtype)
+        np.add.at(head.reshape(-1), flat, vals)
+    del flat, vals, h_ix
 
     # tail goes to flat COO per block: no per-row padding at all (an ELL tail
     # would be almost entirely padding since hot columns carry most nonzeros)

@@ -139,3 +139,40 @@ def test_bf16_head_close_to_f32():
                            AdmmConfig(head_dtype=jnp.bfloat16, **base)).run()
     assert np.all(np.isfinite(res_bf16.z))
     np.testing.assert_allclose(res_bf16.z, res_f32.z, atol=2e-2)
+
+
+def test_to_hybrid_duplicate_feature_sums():
+    """A feature repeated within one row (legal in the ELL layout, summed by
+    the reference's sparse dot) must still SUM into the head — the r5
+    scatter fast path may only fire when every (row, head-col) pair is
+    unique."""
+    from mlease_tpu.core.dataset import BlockedData
+
+    # one block, two rows; feature 1 appears TWICE in row 0
+    indices = np.array([[[1, 1, 2], [1, 2, 0]]], np.int32)
+    values = np.array([[[2.0, 3.0, 4.0], [5.0, 6.0, 0.0]]], np.float32)
+    present = np.zeros((1, 4), bool)
+    present[0, [0, 1, 2]] = True
+    data = BlockedData(
+        indices=indices, values=values,
+        y=np.ones((1, 2), np.float32), weight=np.ones((1, 2), np.float32),
+        offset=np.zeros((1, 2), np.float32), present=present,
+        nrows=np.array([2], np.int32), nblocks=1, dim=4,
+        head=None, head_ids=None, tail_rows=None, tail_cols=None,
+        tail_vals=None, tail_c_rows=None, tail_c_cols=None,
+        tail_c_vals=None)
+    hyb = to_hybrid(data, head_size=2, nnz_multiple=1)
+    h1 = list(hyb.head_ids).index(1)
+    assert hyb.head[0, 0, h1] == pytest.approx(5.0)   # 2.0 + 3.0 summed
+    assert hyb.head[0, 1, h1] == pytest.approx(5.0)
+
+    # and the unique case in a target dtype builds directly in that dtype
+    uniq = data._replace(
+        indices=np.array([[[1, 2, 0], [1, 2, 0]]], np.int32),
+        values=np.array([[[2.0, 4.0, 0.0], [5.0, 6.0, 0.0]]], np.float32))
+    import ml_dtypes
+    hyb2 = to_hybrid(uniq, head_size=2, nnz_multiple=1,
+                     head_dtype=np.dtype(ml_dtypes.bfloat16))
+    assert hyb2.head.dtype == np.dtype(ml_dtypes.bfloat16)
+    h1 = list(hyb2.head_ids).index(1)
+    assert float(hyb2.head[0, 0, h1]) == pytest.approx(2.0)
