@@ -554,6 +554,16 @@ class AdmmTrainer:
 
         rho_base = jnp.asarray(self.rhos, dtype)
         NEG = jnp.asarray(-9999999.0, dtype)
+        # per-iteration rho_eff schedule, precomputed host-side via the
+        # same admm_math.rho_effective the non-fused driver loop calls
+        # (row i = iteration i; row 0 aliases iteration 1, never hit)
+        rho_tab = None
+        if boost > 0 or adapt > 0:
+            rho_tab = jnp.asarray(
+                [[admm_math.rho_effective(
+                    r, max(i, 1), initialize_boost_rate=boost,
+                    rho_adapt_coefficient=adapt) for r in self.rhos]
+                 for i in range(max_it + 1)], dtype)
 
         # the dataset rides as jit OPERANDS, not closure captures: closing
         # over device arrays bakes them into the program as constants (at
@@ -586,12 +596,16 @@ class AdmmTrainer:
                 else:
                     inner_eps = jnp.where((it > 1) & (mindiff < 1e-3),
                                           inner_eps / 10.0, inner_eps)
-                rho_eff = rho_b
-                if boost > 0:
-                    rho_eff = jnp.where(it == 1, rho_b * boost, rho_eff)
-                if adapt > 0:
-                    rho_eff = jnp.where(
-                        it > 1, rho_b * jnp.exp(-(it - 1.0) * adapt), rho_eff)
+                if boost > 0 or adapt > 0:
+                    # precomputed host-side schedule, gathered by iteration:
+                    # the in-loop exp() variant of this program reproducibly
+                    # faulted the TPU worker at the 1M-row shape (round-5
+                    # conv sweep — three crashes, exp-free variants fine at
+                    # the identical shape); the table is also exact in f64
+                    # where the on-device f32 exp was not
+                    rho_eff = rho_tab[jnp.minimum(it, max_it)]
+                else:
+                    rho_eff = rho_b      # byte-identical default program
                 eps = inner_eps * eps_scale
 
                 z, u, diffs, stats = step_raw(

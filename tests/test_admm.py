@@ -328,3 +328,25 @@ def test_fused_run_chunked_matches_single_chunk():
     # stop); every loglik entry delivered exactly once
     assert [c[0] for c in calls][-1] == res_chunk.iterations
     assert sum(c[1] for c in calls) == len(res_chunk.sample_loglik_history)
+
+
+def test_fused_rho_schedule_matches_host_loop():
+    """run_fused's precomputed rho_eff table (boost/adapt — the r5
+    workaround for the TPU worker fault the in-loop exp variant hit) must
+    reproduce the host driver loop's rho_effective() trajectory exactly."""
+    rng = np.random.default_rng(17)
+    rows = synth_rows(rng, 300)
+    vocab = build_vocab(rows)
+    data = pack_blocks([rows[i::3] for i in range(3)], vocab)
+    for kw in ({"rho_adapt_coefficient": 0.05},
+               {"initialize_boost_rate": 2.5},
+               {"rho_adapt_coefficient": 0.05,
+                "initialize_boost_rate": 2.5}):
+        cfg = AdmmConfig(lambdas=[1.0, 10.0], num_iters=6, regularizer=2,
+                         dtype=jnp.float64, multi_rhs=True, **kw)
+        z0 = (np.full(vocab.size, 0.1)
+              if kw.get("initialize_boost_rate") else None)
+        res_host = AdmmTrainer(data, vocab, cfg).run(z0=z0)
+        res_fused = AdmmTrainer(data, vocab, cfg).run_fused(z0=z0)
+        np.testing.assert_allclose(res_fused.z, res_host.z, rtol=1e-9,
+                                   atol=1e-11)
