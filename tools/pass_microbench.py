@@ -37,24 +37,40 @@ def jax_fetch(x):
         np.asarray(jax.device_get(leaf))
 
 
-def _time_loop(step, x0, tries=3, n=N_TRIPS):
+def _time_loop(step, x0, tries=3, n=N_TRIPS, operands=None):
     """Seconds per `step` application: n chained inside one program.
 
     `step` must map x -> x (same pytree) with a true data dependence so the
     while-body cannot be hoisted; the added chaining arithmetic is a few
-    scalar flops per trip — noise against the 10^5-element passes timed."""
+    scalar flops per trip — noise against the 10^5-element passes timed.
+
+    operands: optional pytree passed as a jit OPERAND to step(x, operands)
+    instead of a closure capture — closures bake the problem data into the
+    program as literals, which the tunnel's remote-compile endpoint rejects
+    above ~its body limit at production shapes (HTTP 413)."""
     import jax
 
-    @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
+    if operands is None:
+        @jax.jit
+        def loop(x):
+            return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
 
-    out = loop(x0)
+        def run():
+            return loop(x0)
+    else:
+        @jax.jit
+        def loop(x, ops):
+            return jax.lax.fori_loop(0, n, lambda i, v: step(v, ops), x)
+
+        def run():
+            return loop(x0, operands)
+
+    out = run()
     jax_fetch(out)   # compile + settle
 
     def total():
         t0 = time.monotonic()
-        jax_fetch(loop(x0))
+        jax_fetch(run())
         return time.monotonic() - t0
 
     return min(total() for _ in range(tries)) / n
@@ -350,25 +366,29 @@ def measure_floors(out_path: str | None = None):
     Dm = jnp.asarray(rng.random((B * rows, L)) * 0.25, dt)
     TINY = jnp.asarray(1e-30, dt)
 
+    # problem + Dm ride as jit operands (closure-captured literals exceed
+    # the tunnel's remote-compile body limit at production shapes)
     def chain(fn):
-        return lambda x: x.at[0, 0].add(jnp.sum(fn(x)) * TINY)
+        return lambda x, ops: x.at[0, 0].add(jnp.sum(fn(x, ops)) * TINY)
 
-    null = _time_loop(chain(lambda w: jnp.zeros((), dt)), W)
+    pd = (prob, Dm)
+    null = _time_loop(lambda w: w.at[0, 0].add(TINY), W)
 
     def t(step, x0):
-        return max(_time_loop(step, x0) - null, 0.0)
+        return max(_time_loop(step, x0, operands=pd) - null, 0.0)
 
     floors_ms = {
-        "xv": t(chain(lambda w: tm.xv(prob, w)), W) * 1e3,
-        "xtv": t(chain(lambda c: tm.xtv(prob, c)), C) * 1e3,
+        "xv": t(chain(lambda w, o: tm.xv(o[0], w)), W) * 1e3,
+        "xtv": t(chain(lambda c, o: tm.xtv(o[0], c)), C) * 1e3,
         "fused_xtv_diag": t(
-            chain(lambda c: sum(jnp.sum(o) for o in
-                                tm.xtv_and_sqdiag(prob, c, Dm))), C) * 1e3,
-        "hv": t(chain(lambda s: tm.hv(prob, Dm, s)), W) * 1e3,
+            chain(lambda c, o: sum(jnp.sum(x) for x in
+                                   tm.xtv_and_sqdiag(o[0], c, o[1]))),
+            C) * 1e3,
+        "hv": t(chain(lambda s, o: tm.hv(o[0], o[1], s)), W) * 1e3,
         "fun_grad_diag": t(
-            chain(lambda w: sum(jnp.sum(o) for o in
-                                tm.fun_grad_curvature(
-                                    prob, w, with_diag=True))), W) * 1e3,
+            chain(lambda w, o: sum(jnp.sum(x) for x in
+                                   tm.fun_grad_curvature(
+                                       o[0], w, with_diag=True))), W) * 1e3,
     }
     floors_ms = {k: round(v, 4) for k, v in floors_ms.items()}
     out = {
