@@ -32,26 +32,61 @@ import os
 import numpy as np
 
 
-def load_floor_table(path: str | None = None):
+def load_floor_table(path: str | None = None, target_elems: int | None = None):
     """The measured per-pass table, or (None, reason). Platform-checked:
-    floors measured on another backend are not comparable."""
-    if path is None:
-        path = os.environ.get(
-            "BENCH_FLOORS",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", "..", "tools", "pass_floors.json"))
-    try:
-        with open(path) as f:
-            tab = json.load(f)
-    except (OSError, ValueError):
-        return None, ("no pass_floors.json — run "
-                      "tools/pass_microbench.py --floors on-chip")
+    floors measured on another backend are not comparable.
+
+    With no explicit path, every tools/pass_floors*.json is considered and
+    the table with element count nearest `target_elems` wins — per-pass
+    cost per element is NOT constant across feature widths (gather/scatter
+    at 1.9M features is a different HBM locality regime than 50K; the
+    round-5 25M decomposition mis-read util 0.22 by scaling the 50K table
+    245x), so the probe table must come from the matching regime."""
+    import glob
+
     import jax
     plat = jax.devices()[0].platform
-    if tab.get("platform") != plat:
-        return None, (f"pass_floors.json measured on "
-                      f"{tab.get('platform')}, running on {plat}")
-    return tab, None
+    env = os.environ.get("BENCH_FLOORS")
+    if path is None and env:
+        path = env
+    if path is not None:
+        try:
+            with open(path) as f:
+                tab = json.load(f)
+        except (OSError, ValueError):
+            return None, ("no pass_floors.json — run "
+                          "tools/pass_microbench.py --floors on-chip")
+        if tab.get("platform") != plat:
+            return None, (f"pass_floors.json measured on "
+                          f"{tab.get('platform')}, running on {plat}")
+        return tab, None
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "..", "tools")
+    best, best_key = None, None
+    for p in sorted(glob.glob(os.path.join(tools_dir, "pass_floors*.json"))):
+        try:
+            with open(p) as f:
+                tab = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if tab.get("platform") != plat:
+            continue
+        e = max(table_elems(tab), 1)
+        key = (abs(math_log_ratio(target_elems, e))
+               if target_elems else 0.0)
+        if best is None or key < best_key:
+            best, best_key = tab, key
+    if best is None:
+        return None, ("no platform-matching pass_floors*.json — run "
+                      "tools/pass_microbench.py --floors on-chip")
+    return best, None
+
+
+def math_log_ratio(a: int | None, b: int) -> float:
+    import math
+    if not a:
+        return 0.0
+    return math.log(max(a, 1) / max(b, 1))
 
 
 def group_elems(g, n_lambdas: int) -> int:
@@ -86,7 +121,9 @@ def streaming_floor(groups, trip_log, wire_bytes: int, steady_iter_s: float,
     bw_bytes_per_s: measured host->device bandwidth (None -> wire term
                reported as unknown, util computed from compute alone)
     """
-    tab, err = load_floor_table(floors_path)
+    mean_g_elems = (int(np.mean([group_elems(g, n_lambdas)
+                                 for g in groups])) if groups else None)
+    tab, err = load_floor_table(floors_path, target_elems=mean_g_elems)
     if tab is None:
         return {"floor_iter_s": None, "util": None, "source": err}
     if not trip_log:
@@ -126,8 +163,10 @@ def streaming_floor(groups, trip_log, wire_bytes: int, steady_iter_s: float,
         "wire_bytes_per_iter": int(wire_bytes),
         "bw_gbps": (round(bw_bytes_per_s / 1e9, 3)
                     if bw_bytes_per_s else None),
-        "source": (f"composed from pass_floors.json @ {tab.get('chip')}; "
-                   "element-scaled per group"),
+        "source": (f"composed from probe table @ {tab.get('chip')} "
+                   f"(features={tab.get('shape', {}).get('features')}); "
+                   "element-scaled per group; util>1 means the in-situ "
+                   "solver beats the isolated-pass probe"),
         "per_group": per_group[:32],
     }
 
