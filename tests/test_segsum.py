@@ -1,0 +1,77 @@
+"""Sorted segment-sum via two-level prefix + boundary diff (ops/segsum.py).
+
+Validates against jax.ops.segment_sum / a float64 reference: random sorted
+streams (incl. empty segments, unaligned tile boundaries, single-segment
+and every-entry-own-segment extremes), 1-D and (T, L) values, both the
+MXU-triangular-matmul and cumsum prefix methods, and the offsets table
+itself. Tolerances are set by the two-level error model (~eps * sqrt(K)):
+see the module docstring.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from mlease_tpu.ops.segsum import (segment_offsets,  # noqa: E402
+                                   sorted_segment_sum_2level)
+
+
+def _ref(vals, segs, S):
+    out = np.zeros((S,) + vals.shape[1:], np.float64)
+    np.add.at(out, segs, vals.astype(np.float64))
+    return out
+
+
+@pytest.mark.parametrize("method", ["matmul", "cumsum"])
+@pytest.mark.parametrize("T,S,L,tile", [
+    (1000, 300, 3, 64),      # generic, unaligned
+    (1000, 300, 3, 128),
+    (4096, 4096, 1, 256),    # ~every entry its own segment
+    (513, 1, 2, 512),        # single segment, one-past-tile stream
+    (511, 100, 3, 512),      # stream shorter than one tile
+])
+def test_matches_reference(method, T, S, L, tile):
+    rng = np.random.default_rng(T + S + L)
+    vals_np = rng.normal(size=(T, L)).astype(np.float32)
+    segs_np = np.sort(rng.integers(0, S, size=T)).astype(np.int32)
+    if L == 1:
+        vals_np = vals_np[:, 0]
+    bounds = segment_offsets(jnp.asarray(segs_np), S)
+    got = np.asarray(sorted_segment_sum_2level(
+        jnp.asarray(vals_np), bounds, tile=tile, method=method))
+    ref = _ref(vals_np, segs_np, S)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5 * np.sqrt(tile), rtol=0)
+
+
+def test_empty_segments_exact_zero():
+    # ids jump 0 -> 5: segments 1..4 are empty and must be EXACT zeros
+    vals = jnp.ones((4, 2), jnp.float32)
+    segs = jnp.asarray([0, 0, 5, 5], jnp.int32)
+    bounds = segment_offsets(segs, 7)
+    got = np.asarray(sorted_segment_sum_2level(vals, bounds, tile=64))
+    assert got[1:5].max() == 0.0 and got[6].max() == 0.0
+    np.testing.assert_allclose(got[0], [2, 2])
+    np.testing.assert_allclose(got[5], [2, 2])
+
+
+def test_offsets_table():
+    segs = jnp.asarray([1, 1, 3, 3, 3, 6], jnp.int32)
+    off = np.asarray(segment_offsets(segs, 8))
+    np.testing.assert_array_equal(off, [0, 0, 2, 2, 5, 5, 5, 6, 6])
+
+
+def test_matches_segment_sum_at_pass_shape():
+    # the tail-pass contraction shape class (many entries, L lanes)
+    rng = np.random.default_rng(7)
+    T, S, L = 20_000, 6_000, 3
+    vals = rng.normal(size=(T, L)).astype(np.float32)
+    segs = np.sort(rng.integers(0, S, size=T)).astype(np.int32)
+    a = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(vals), jnp.asarray(segs), num_segments=S,
+        indices_are_sorted=True))
+    bounds = segment_offsets(jnp.asarray(segs), S)
+    b = np.asarray(sorted_segment_sum_2level(jnp.asarray(vals), bounds))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-4)
