@@ -38,8 +38,6 @@ exists only in the TPU design (core/dataset.py column-sorted tails).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -53,14 +51,15 @@ def segment_offsets(sorted_segs: jax.Array, num_segments: int) -> jax.Array:
         side="left").astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "method"))
 def sorted_segment_sum_2level(vals: jax.Array, offsets: jax.Array, *,
                               tile: int = 512,
                               method: str = "matmul") -> jax.Array:
     """Segment sums of a segment-SORTED value stream via boundary-diffed
     two-level prefix sums. vals (T, L) or (T,); offsets (S+1,) int32 from
     `segment_offsets`. Returns (S, L) / (S,) matching segment_sum on the
-    same layout (up to f32 summation-order rounding)."""
+    same layout (up to f32 summation-order rounding). Deliberately NOT
+    jitted here: it inlines into the caller's trace so XLA can fuse the
+    contrib elementwise work into the prefix pipeline."""
     squeeze = vals.ndim == 1
     if squeeze:
         vals = vals[:, None]
@@ -76,11 +75,14 @@ def sorted_segment_sum_2level(vals: jax.Array, offsets: jax.Array, *,
     if method == "matmul":
         # inclusive within-tile prefix as one MXU contraction:
         # within[n, j, l] = sum_{k<=j} tiles[n, k, l]
+        # HIGHEST: the TPU f32 matmul default is one bf16 pass (~3
+        # digits) — a prefix SUM cannot afford that; the 6-pass f32
+        # decomposition costs only MXU cycles on a bandwidth-bound op.
         tri = jnp.tril(jnp.ones((K, K), vals.dtype))
-        within = jax.lax.dot_general(
-            tiles, tri, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (nT, L, K)
-        within = within.astype(vals.dtype).swapaxes(1, 2)  # (nT, K, L)
+        within = jnp.einsum(
+            "nkl,jk->njl", tiles, tri,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(vals.dtype)
     else:
         within = jnp.cumsum(tiles, axis=1)
 

@@ -24,7 +24,18 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mlease_tpu.ops.segsum import segment_offsets, sorted_segment_sum_2level
 from mlease_tpu.ops.tron import ETA0, ETA1, ETA2, SIGMA1, SIGMA2, SIGMA3
+
+
+def _tail_reduce(contrib, ids, offsets, num_segments):
+    """Sorted-stream segment reduce for the tail passes: boundary-diffed
+    two-level prefix when the problem carries an offset table (scatter-free,
+    MXU prefix — ops/segsum.py), else XLA's scatter-lowered segment_sum."""
+    if offsets is not None:
+        return sorted_segment_sum_2level(contrib, offsets)
+    return jax.ops.segment_sum(contrib, ids, num_segments=num_segments,
+                               indices_are_sorted=True)
 
 
 class MultiProblem(NamedTuple):
@@ -55,6 +66,12 @@ class MultiProblem(NamedTuple):
     tail_c_rows: jax.Array | None = None  # (T,)
     tail_c_cols: jax.Array | None = None  # (T,) sorted ascending
     tail_c_vals: jax.Array | None = None  # (T,)
+    # segment boundary tables (ops/segsum.py): when present, tail reduces
+    # run as two-level-prefix boundary diffs instead of scatter-lowered
+    # segment_sum — measured 62 -> ~? ns/entry at production widths
+    # (tools/segsum_probe.py). Loop-invariant; stack_blocks derives them.
+    tail_row_offsets: jax.Array | None = None  # (R+1,) into tail_rows
+    tail_col_offsets: jax.Array | None = None  # (n+1,) into tail_c_cols
 
     @property
     def dim(self) -> int:
@@ -94,6 +111,11 @@ def stack_blocks(indices, values, y, weight, offset, head,
             tail_c_rows=(tc_rows + boffs_r).reshape(-1),
             tail_c_cols=(tc_cols + boffs_n).reshape(-1),
             tail_c_vals=tc_vals.reshape(-1))
+        # boundary tables for the scatter-free tail reduces; inside a
+        # trace these are loop-invariant (XLA hoists them out of the
+        # solver's while loops — same mechanism as ROADMAP 4c)
+        kw["tail_row_offsets"] = segment_offsets(kw["tail_rows"], B * R)
+        kw["tail_col_offsets"] = segment_offsets(kw["tail_c_cols"], B * n)
     return MultiProblem(
         indices=(indices + boffs_n[..., None]).reshape(B * R, K),
         values=values.reshape(B * R, K),
@@ -141,10 +163,9 @@ def xv(prob: MultiProblem, V: jax.Array,
                                 precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
         contrib = prob.tail_vals[:, None] * V[prob.tail_cols]
-        # tail_rows are row-major sorted: sorted segment-sum beats scatter
-        out = out + jax.ops.segment_sum(contrib, prob.tail_rows,
-                                        num_segments=R,
-                                        indices_are_sorted=True)
+        # tail_rows are row-major sorted: scatter-free boundary-diff reduce
+        out = out + _tail_reduce(contrib, prob.tail_rows,
+                                 prob.tail_row_offsets, R)
     return _psum(out, axis_name)
 
 
@@ -168,9 +189,9 @@ def xtv(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
                 jnp.dot(prob.head_x.T, Dm, preferred_element_type=Dm.dtype,
                         precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
-        out = out + jax.ops.segment_sum(
+        out = out + _tail_reduce(
             prob.tail_c_vals[:, None] * Dm[prob.tail_c_rows],
-            prob.tail_c_cols, num_segments=n, indices_are_sorted=True)
+            prob.tail_c_cols, prob.tail_col_offsets, n)
     elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * Dm[prob.tail_rows])
@@ -250,9 +271,8 @@ def xtv_and_sqdiag(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
         tv = prob.tail_c_vals[:, None]
         contrib = jnp.concatenate([tv * rows[:, :L],
                                    (tv * tv) * rows[:, L:]], axis=-1)
-        out = out + jax.ops.segment_sum(contrib, prob.tail_c_cols,
-                                        num_segments=n,
-                                        indices_are_sorted=True)
+        out = out + _tail_reduce(contrib, prob.tail_c_cols,
+                                 prob.tail_col_offsets, n)
     elif prob.tail_cols is not None:
         rows = jnp.concatenate([C, Dm], axis=-1)[prob.tail_rows]
         tv = prob.tail_vals[:, None]
@@ -338,9 +358,9 @@ def hessian_diagonal(prob: MultiProblem, Dm: jax.Array) -> jax.Array:
                         precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
         tv = prob.tail_c_vals[:, None]
-        out = out + jax.ops.segment_sum(
+        out = out + _tail_reduce(
             tv * tv * Dm[prob.tail_c_rows], prob.tail_c_cols,
-            num_segments=n, indices_are_sorted=True)
+            prob.tail_col_offsets, n)
     elif prob.tail_cols is not None:
         out = out.at[prob.tail_cols].add(
             prob.tail_vals[:, None] * prob.tail_vals[:, None]
