@@ -268,8 +268,16 @@ def to_hybrid(data: BlockedData, head_size: int, *,
     tail_mask = (~is_head) & (data.values != 0)
     per_block = tail_mask.reshape(B, -1).sum(axis=1)
     T = _round_up(max(int(per_block.max(initial=0)), 1), 128)
-    tail_rows = np.zeros((B, T), np.int32)
-    tail_cols = np.zeros((B, T), np.int32)
+    # pad entries carry (row R-1, col n-1, val 0): the zero value makes
+    # them semantic no-ops under every reduce; row R-1 keeps the appended
+    # padding SORTED in the row stream (the boundary-diff reduce in
+    # ops/segsum.py requires truly ascending ids, not just the
+    # indices_are_sorted hint a scatter-add ignores); col n-1 makes the
+    # stable column sort place the same pads at the END of the
+    # column-sorted copy too, so padding never SHIFTS real entries across
+    # prefix tiles — layout padding stays a bit-exact no-op
+    tail_rows = np.full((B, T), R - 1, np.int32)
+    tail_cols = np.full((B, T), data.dim - 1, np.int32)
     tail_vals = np.zeros((B, T), data.values.dtype)
     row_of_slot = np.broadcast_to(
         np.arange(R, dtype=np.int32)[:, None], (R, K))
@@ -280,8 +288,8 @@ def to_hybrid(data: BlockedData, head_size: int, *,
         tail_cols[b, :t] = data.indices[b][m]
         tail_vals[b, :t] = data.values[b][m]
 
-    # column-sorted copy of the tail; padding (val 0, col 0) sorts to the
-    # front and contributes nothing to segment 0
+    # column-sorted copy of the tail; padding (val 0, col n-1) sorts to
+    # the END and contributes nothing to the last segment
     tc_rows = tc_cols = tc_vals = None
     if column_sorted:
         tc_rows = np.zeros_like(tail_rows)

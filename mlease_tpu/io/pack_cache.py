@@ -49,8 +49,11 @@ def build_manifest(input_files: list[str], *, nblocks: int, n_groups: int,
     # map_key shapes the row-to-block assignment (partition-by-key vs
     # random, core/prepare.py) — omitting it let a map.key run share a
     # cache with a random-partition run over the same inputs.
+    # version 3: tail padding carries row R-1 (truly row-sorted streams —
+    # the boundary-diff reduce requires it); v2 caches hold row-0 padding
+    # and must rebuild, not load.
     return {
-        "version": 2,
+        "version": 3,
         "inputs": [[os.path.abspath(p), os.path.getsize(p),
                     int(os.path.getmtime(p))] for p in sorted(input_files)],
         "nblocks": nblocks, "n_groups": n_groups, "head_size": head_size,

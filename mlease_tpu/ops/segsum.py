@@ -42,6 +42,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _acc_dtype(dt):
+    """Accumulate the prefix matmul at >= the stream precision: f32 for
+    f32/bf16 streams, f64 for an f64 run (a f32 accumulator would silently
+    degrade the double-precision path)."""
+    return jnp.float64 if dt == jnp.float64 else jnp.float32
+
+
 def segment_offsets(sorted_segs: jax.Array, num_segments: int) -> jax.Array:
     """(S+1,) int32 boundary table for a sorted (T,) segment-id stream:
     offsets[s] = first stream position with id >= s; offsets[S] = T.
@@ -81,20 +88,61 @@ def sorted_segment_sum_2level(vals: jax.Array, offsets: jax.Array, *,
         tri = jnp.tril(jnp.ones((K, K), vals.dtype))
         within = jnp.einsum(
             "nkl,jk->njl", tiles, tri,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc_dtype(vals.dtype),
             precision=jax.lax.Precision.HIGHEST).astype(vals.dtype)
     else:
         within = jnp.cumsum(tiles, axis=1)
 
     tile_sums = within[:, -1, :]                          # (nT, L)
+    return _finish(within, tile_sums, offsets, nT, K, L, vals.dtype, squeeze)
+
+
+def _finish(within, tile_sums, offsets, nT, K, L, dtype, squeeze):
     coarse = jnp.concatenate(
-        [jnp.zeros((1, L), vals.dtype),
+        [jnp.zeros((1, L), dtype),
          jnp.cumsum(tile_sums, axis=0)[:-1]], axis=0)     # exclusive, (nT, L)
 
     # E(b) = coarse[(b-1)//K] + within_flat[b-1], E(0) = 0
     b = offsets.astype(jnp.int32)
     bm = jnp.maximum(b - 1, 0)
     e = coarse[bm // K] + within.reshape(nT * K, L)[bm]
-    e = jnp.where((b == 0)[:, None], jnp.zeros((), vals.dtype), e)
+    e = jnp.where((b == 0)[:, None], jnp.zeros((), dtype), e)
     out = e[1:] - e[:-1]
     return out[:, 0] if squeeze else out
+
+
+def sorted_segment_sum_2level_lanes(vals: jax.Array, offsets: jax.Array, *,
+                                    tile: int = 512,
+                                    method: str = "matmul") -> jax.Array:
+    """Lanes-MAJOR batched variant: vals (L, T), one SHARED offset table —
+    the production solver's layout (every lane reduces the same sorted
+    stream with per-lane values). Returns (L, S). Same two-level scheme as
+    `sorted_segment_sum_2level`, batched without transposing the stream."""
+    L, T = vals.shape
+    K = tile
+    nT = -(-T // K)
+    pad = nT * K - T
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((L, pad), vals.dtype)], axis=1)
+    tiles = vals.reshape(L, nT, K)
+
+    if method == "matmul":
+        tri = jnp.tril(jnp.ones((K, K), vals.dtype))
+        within = jnp.einsum(
+            "lnk,jk->lnj", tiles, tri,
+            preferred_element_type=_acc_dtype(vals.dtype),
+            precision=jax.lax.Precision.HIGHEST).astype(vals.dtype)
+    else:
+        within = jnp.cumsum(tiles, axis=2)
+
+    tile_sums = within[:, :, -1]                          # (L, nT)
+    coarse = jnp.concatenate(
+        [jnp.zeros((L, 1), vals.dtype),
+         jnp.cumsum(tile_sums, axis=1)[:, :-1]], axis=1)  # exclusive
+
+    b = offsets.astype(jnp.int32)
+    bm = jnp.maximum(b - 1, 0)
+    e = coarse[:, bm // K] + within.reshape(L, nT * K)[:, bm]
+    e = jnp.where((b == 0)[None, :], jnp.zeros((), vals.dtype), e)
+    return e[:, 1:] - e[:, :-1]

@@ -24,7 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mlease_tpu.ops.segsum import segment_offsets, sorted_segment_sum_2level
+from mlease_tpu.ops.segsum import (segment_offsets, sorted_segment_sum_2level,
+                                   sorted_segment_sum_2level_lanes)
 from mlease_tpu.ops.tron import ETA0, ETA1, ETA2, SIGMA1, SIGMA2, SIGMA3
 
 
@@ -409,11 +410,16 @@ def _xv_lm(prob: MultiProblem, V: jax.Array,
                 preferred_element_type=V.dtype,
                 precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
-        def one(v):
-            return jax.ops.segment_sum(prob.tail_vals * v[prob.tail_cols],
-                                       prob.tail_rows, num_segments=R,
-                                       indices_are_sorted=True)
-        out = out + jax.vmap(one)(V)
+        if prob.tail_row_offsets is not None:
+            out = out + sorted_segment_sum_2level_lanes(
+                prob.tail_vals[None, :] * V[:, prob.tail_cols],
+                prob.tail_row_offsets)
+        else:
+            def one(v):
+                return jax.ops.segment_sum(
+                    prob.tail_vals * v[prob.tail_cols], prob.tail_rows,
+                    num_segments=R, indices_are_sorted=True)
+            out = out + jax.vmap(one)(V)
     return _psum(out, axis_name)
 
 
@@ -443,11 +449,17 @@ def _xtv_lm(prob: MultiProblem, D: jax.Array) -> jax.Array:
                 preferred_element_type=D.dtype,
                 precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
-        def one_t(d):
-            return jax.ops.segment_sum(prob.tail_c_vals * d[prob.tail_c_rows],
-                                       prob.tail_c_cols, num_segments=n,
-                                       indices_are_sorted=True)
-        out = out + jax.vmap(one_t)(D)
+        if prob.tail_col_offsets is not None:
+            out = out + sorted_segment_sum_2level_lanes(
+                prob.tail_c_vals[None, :] * D[:, prob.tail_c_rows],
+                prob.tail_col_offsets)
+        else:
+            def one_t(d):
+                return jax.ops.segment_sum(
+                    prob.tail_c_vals * d[prob.tail_c_rows],
+                    prob.tail_c_cols, num_segments=n,
+                    indices_are_sorted=True)
+            out = out + jax.vmap(one_t)(D)
     elif prob.tail_cols is not None:
         def one_s(d):
             return jnp.zeros(n, d.dtype).at[prob.tail_cols].add(
@@ -500,15 +512,21 @@ def _xtv_and_sqdiag_lm(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
     if prob.tail_c_cols is not None:
         tv = prob.tail_c_vals
         tvv = tv * tv
-
-        def one_t(d_and_sq):
-            d, use_sq = d_and_sq
-            vals = jnp.where(use_sq, tvv, tv)
-            return jax.ops.segment_sum(vals * d[prob.tail_c_rows],
-                                       prob.tail_c_cols, num_segments=n,
-                                       indices_are_sorted=True)
         sel = jnp.concatenate([jnp.zeros(L, bool), jnp.ones(L, bool)])
-        out = out + jax.vmap(one_t)((jnp.concatenate([C, Dm], axis=0), sel))
+        if prob.tail_col_offsets is not None:
+            vals2 = jnp.where(sel[:, None], tvv[None, :], tv[None, :])
+            out = out + sorted_segment_sum_2level_lanes(
+                vals2 * jnp.concatenate([C, Dm], axis=0)[:, prob.tail_c_rows],
+                prob.tail_col_offsets)
+        else:
+            def one_t(d_and_sq):
+                d, use_sq = d_and_sq
+                vals = jnp.where(use_sq, tvv, tv)
+                return jax.ops.segment_sum(vals * d[prob.tail_c_rows],
+                                           prob.tail_c_cols, num_segments=n,
+                                           indices_are_sorted=True)
+            out = out + jax.vmap(one_t)(
+                (jnp.concatenate([C, Dm], axis=0), sel))
     elif prob.tail_cols is not None:
         tv = prob.tail_vals
         tvv = tv * tv

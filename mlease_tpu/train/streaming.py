@@ -145,30 +145,30 @@ def _device_hbm_bytes() -> int:
 def _pad_group_tails(g, T_max: int):
     """Pad one group's tail layouts from T to T_max columns, bit-exactly.
 
-    The row-sorted triplet APPENDS (row 0, col 0, val 0.0) entries — the
-    same padding convention core/dataset.to_hybrid already uses inside a
-    block; the column-sorted copy PREPENDS them (col-0 zeros sort to the
-    front, so the array stays column-sorted and the pads contribute 0.0 to
-    segment 0). Every added entry adds +0.0 into accumulator slot (0, 0)
-    of the downstream segment sums — a float-exact no-op."""
+    BOTH triplets APPEND (row R-1, col n-1, val 0.0) entries — the same
+    padding convention core/dataset.to_hybrid uses inside a block: row
+    R-1 / col n-1 keep the appended padding truly SORTED in each stream
+    (the boundary-diff reduce in ops/segsum.py requires ascending ids),
+    and appending (never prepending) means real entries keep their
+    positions, so prefix-tile groupings — and therefore every float —
+    are unchanged by the padding. Each added entry contributes +0.0 to
+    the last row/column slot: a float-exact no-op."""
     B, T = g.tail_rows.shape
     P = T_max - T
     if P <= 0:
         return g
 
-    def app(a):
-        return np.concatenate(
-            [a, np.zeros((B, P), a.dtype)], axis=1)
-
-    def pre(a):
+    def app(a, fill=0):
         return (None if a is None
-                else np.concatenate([np.zeros((B, P), a.dtype), a], axis=1))
+                else np.concatenate(
+                    [a, np.full((B, P), fill, a.dtype)], axis=1))
 
-    return g._replace(tail_rows=app(g.tail_rows), tail_cols=app(g.tail_cols),
+    return g._replace(tail_rows=app(g.tail_rows, g.padded_rows - 1),
+                      tail_cols=app(g.tail_cols, g.dim - 1),
                       tail_vals=app(g.tail_vals),
-                      tail_c_rows=pre(g.tail_c_rows),
-                      tail_c_cols=pre(g.tail_c_cols),
-                      tail_c_vals=pre(g.tail_c_vals))
+                      tail_c_rows=app(g.tail_c_rows, g.padded_rows - 1),
+                      tail_c_cols=app(g.tail_c_cols, g.dim - 1),
+                      tail_c_vals=app(g.tail_c_vals))
 
 
 def _tail_inv_perm(tail_cols) -> np.ndarray:
@@ -774,23 +774,15 @@ class StreamingAdmmTrainer:
         return total
 
     def _tail_inv(self, gi: int) -> np.ndarray:
-        """Inverse column-sort permutation for group gi, padding-aware.
+        """Inverse column-sort permutation for group gi.
 
-        For a group padded by _pad_group_tails (P entries appended to the
-        row-sorted layout, P prepended to the column-sorted one), the
-        original region's inverse shifts by P past the prepended pads, and
-        appended row-sorted pad i maps to prepended column-sorted slot i —
-        so the device gather reproduces the padded row-sorted triplet
-        bit-exactly."""
-        g = self.groups[gi]
-        T0 = self._tail_orig_T.get(gi)
-        if T0 is None:
-            return _tail_inv_perm(g.tail_cols)
-        B, T = g.tail_cols.shape
-        P = T - T0
-        inv0 = _tail_inv_perm(g.tail_cols[:, :T0]) + np.int32(P)
-        pad = np.broadcast_to(np.arange(P, dtype=np.int32), (B, P))
-        return np.ascontiguousarray(np.concatenate([inv0, pad], axis=1))
+        _pad_group_tails APPENDS (row R-1, col n-1) pads to BOTH triplets,
+        so a padded group satisfies the same tc == tail[stable-argsort]
+        relation as an unpadded one (pads are the final members of the
+        col n-1 tie group in both constructions) — one plain inverse over
+        the padded arrays reproduces the padded row-sorted triplet
+        bit-exactly on device."""
+        return _tail_inv_perm(self.groups[gi].tail_cols)
 
     def sample_loglik(self, z) -> np.ndarray:
         idx, val, y, w, off = self.test_arrays

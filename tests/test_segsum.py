@@ -63,6 +63,26 @@ def test_offsets_table():
     np.testing.assert_array_equal(off, [0, 0, 2, 2, 5, 5, 5, 6, 6])
 
 
+@pytest.mark.parametrize("method", ["matmul", "cumsum"])
+def test_lanes_major_matches_minor(method):
+    from mlease_tpu.ops.segsum import sorted_segment_sum_2level_lanes
+    rng = np.random.default_rng(3)
+    T, S, L = 5000, 1500, 3
+    vals = rng.normal(size=(L, T)).astype(np.float32)
+    segs = np.sort(rng.integers(0, S, size=T)).astype(np.int32)
+    bounds = segment_offsets(jnp.asarray(segs), S)
+    got = np.asarray(sorted_segment_sum_2level_lanes(
+        jnp.asarray(vals), bounds, tile=256, method=method))
+    want = np.stack([
+        np.asarray(sorted_segment_sum_2level(
+            jnp.asarray(vals[l]), bounds, tile=256)) for l in range(L)])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+    ref = np.zeros((L, S), np.float64)
+    for l in range(L):
+        np.add.at(ref[l], segs, vals[l].astype(np.float64))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
 def test_matches_segment_sum_at_pass_shape():
     # the tail-pass contraction shape class (many entries, L lanes)
     rng = np.random.default_rng(7)
