@@ -29,11 +29,26 @@ from mlease_tpu.ops.segsum import (segment_offsets, sorted_segment_sum_2level,
 from mlease_tpu.ops.tron import ETA0, ETA1, ETA2, SIGMA1, SIGMA2, SIGMA3
 
 
+# Minimum stream length for the boundary-diff reduce. TPU scatter-add's
+# per-entry cost is SHAPE-DEPENDENT: ~60 ns/entry at 9.3M-entry production
+# streams (tools/tail_locality_result.json — the 19x regime) but only a
+# few ns/entry at the 128K default-bench tails, where the prefix+boundary
+# machinery costs MORE than the scatter it replaces (measured: default
+# bench 15.3 -> 10.4 iter/s when applied unconditionally). Shapes are
+# static under jit, so the gate resolves at trace time.
+BOUNDARY_DIFF_MIN_ENTRIES = 1 << 20
+
+
+def _use_bd(offsets, n_entries: int) -> bool:
+    return offsets is not None and n_entries >= BOUNDARY_DIFF_MIN_ENTRIES
+
+
 def _tail_reduce(contrib, ids, offsets, num_segments):
     """Sorted-stream segment reduce for the tail passes: boundary-diffed
-    two-level prefix when the problem carries an offset table (scatter-free,
-    MXU prefix — ops/segsum.py), else XLA's scatter-lowered segment_sum."""
-    if offsets is not None:
+    two-level prefix on large streams when the problem carries an offset
+    table (scatter-free, MXU prefix — ops/segsum.py), else XLA's
+    scatter-lowered segment_sum."""
+    if _use_bd(offsets, contrib.shape[0]):
         return sorted_segment_sum_2level(contrib, offsets)
     return jax.ops.segment_sum(contrib, ids, num_segments=num_segments,
                                indices_are_sorted=True)
@@ -114,9 +129,12 @@ def stack_blocks(indices, values, y, weight, offset, head,
             tail_c_vals=tc_vals.reshape(-1))
         # boundary tables for the scatter-free tail reduces; inside a
         # trace these are loop-invariant (XLA hoists them out of the
-        # solver's while loops — same mechanism as ROADMAP 4c)
-        kw["tail_row_offsets"] = segment_offsets(kw["tail_rows"], B * R)
-        kw["tail_col_offsets"] = segment_offsets(kw["tail_c_cols"], B * n)
+        # solver's while loops — same mechanism as ROADMAP 4c). Skipped
+        # below the boundary-diff gate: small streams keep the scatter
+        # path, so the searchsorted would be dead work.
+        if kw["tail_vals"].shape[0] >= BOUNDARY_DIFF_MIN_ENTRIES:
+            kw["tail_row_offsets"] = segment_offsets(kw["tail_rows"], B * R)
+            kw["tail_col_offsets"] = segment_offsets(kw["tail_c_cols"], B * n)
     return MultiProblem(
         indices=(indices + boffs_n[..., None]).reshape(B * R, K),
         values=values.reshape(B * R, K),
@@ -410,7 +428,7 @@ def _xv_lm(prob: MultiProblem, V: jax.Array,
                 preferred_element_type=V.dtype,
                 precision=jax.lax.Precision.HIGHEST)
     if prob.tail_cols is not None:
-        if prob.tail_row_offsets is not None:
+        if _use_bd(prob.tail_row_offsets, prob.tail_vals.shape[0]):
             out = out + sorted_segment_sum_2level_lanes(
                 prob.tail_vals[None, :] * V[:, prob.tail_cols],
                 prob.tail_row_offsets)
@@ -449,7 +467,7 @@ def _xtv_lm(prob: MultiProblem, D: jax.Array) -> jax.Array:
                 preferred_element_type=D.dtype,
                 precision=jax.lax.Precision.HIGHEST))
     if prob.tail_c_cols is not None:
-        if prob.tail_col_offsets is not None:
+        if _use_bd(prob.tail_col_offsets, prob.tail_c_vals.shape[0]):
             out = out + sorted_segment_sum_2level_lanes(
                 prob.tail_c_vals[None, :] * D[:, prob.tail_c_rows],
                 prob.tail_col_offsets)
@@ -513,7 +531,7 @@ def _xtv_and_sqdiag_lm(prob: MultiProblem, C: jax.Array, Dm: jax.Array):
         tv = prob.tail_c_vals
         tvv = tv * tv
         sel = jnp.concatenate([jnp.zeros(L, bool), jnp.ones(L, bool)])
-        if prob.tail_col_offsets is not None:
+        if _use_bd(prob.tail_col_offsets, tv.shape[0]):
             vals2 = jnp.where(sel[:, None], tvv[None, :], tv[None, :])
             out = out + sorted_segment_sum_2level_lanes(
                 vals2 * jnp.concatenate([C, Dm], axis=0)[:, prob.tail_c_rows],

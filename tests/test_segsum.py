@@ -83,6 +83,43 @@ def test_lanes_major_matches_minor(method):
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
 
 
+def test_solver_boundary_diff_path_parity(monkeypatch):
+    """The production solves run above BOUNDARY_DIFF_MIN_ENTRIES, where the
+    tail reduces take the prefix+boundary path — unreachable at test sizes
+    unless the gate is lowered. Forces it and asserts the full flat-blocks
+    ADMM solve matches the scatter path."""
+    from bench import synth_blocked_data
+    from mlease_tpu.core.dataset import to_hybrid
+    from mlease_tpu.ops import tron_multi as tm
+
+    data, _ = synth_blocked_data(2000, 4, 512, 8)
+    data = to_hybrid(data, 64)
+    n, L, B = data.dim, 3, 4
+    dt = jnp.float32
+    head_tuple = (jnp.asarray(data.head, dt), jnp.asarray(data.head_ids),
+                  jnp.asarray(data.tail_rows), jnp.asarray(data.tail_cols),
+                  jnp.asarray(data.tail_vals, dt),
+                  jnp.asarray(data.tail_c_rows),
+                  jnp.asarray(data.tail_c_cols),
+                  jnp.asarray(data.tail_c_vals, dt))
+    args = (jnp.asarray(data.indices), jnp.asarray(data.values, dt),
+            jnp.asarray(data.y, dt), jnp.asarray(data.weight, dt),
+            jnp.asarray(data.offset, dt), head_tuple,
+            jnp.zeros((L, B, n), dt), jnp.ones((L,), dt))
+
+    def solve():
+        prob = tm.stack_blocks(*args)
+        r = tm.tron_multi(prob, jnp.zeros((B * n, L), dt),
+                          jnp.asarray(1e-2, dt), max_iter=3, max_cg_iter=6)
+        return np.asarray(r.w)
+
+    w_scatter = solve()                       # gate off at this size
+    monkeypatch.setattr(tm, "BOUNDARY_DIFF_MIN_ENTRIES", 1)
+    w_bd = solve()
+    assert np.max(np.abs(w_bd - w_scatter)) < 1e-4
+    assert np.max(np.abs(w_scatter)) > 0.01   # solver actually moved
+
+
 def test_matches_segment_sum_at_pass_shape():
     # the tail-pass contraction shape class (many entries, L lanes)
     rng = np.random.default_rng(7)
